@@ -1,0 +1,200 @@
+"""Training entry point.
+
+    python -m mvs_tpu.cli train --config cfg.yaml [--resume] [key=value ...]
+
+Unifies the reference's five per-pipeline train.py runners (SURVEY.md §2.5):
+one loop with task adapters, a device mesh (data parallel by default, depth/
+space volume sharding via train.mesh_*), warmup-multistep LR, orbax
+checkpointing, JSONL/TensorBoard logging, and per-epoch validation with the
+reference's 2/4/8 mm metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+import optax
+
+from mvs_tpu.io import dtu as dtu_io
+from mvs_tpu.io.pipeline import DataLoader
+from mvs_tpu.models.registry import build_model_and_task
+from mvs_tpu.parallel import make_mesh, replicate, shard_batch, volume_sharded_plan
+from mvs_tpu.train import TrainState, make_train_step, parse_milestones
+from mvs_tpu.train.checkpoint import CheckpointManager
+from mvs_tpu.train.schedule import warmup_multistep_lr
+from mvs_tpu.utils.config import load_config
+from mvs_tpu.utils.meters import DictAverageMeter, ScalarLogger
+
+__all__ = ["main", "build_optimizer", "read_scan_list"]
+
+
+def read_scan_list(path) -> list[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def build_optimizer(cfg, steps_per_epoch: int):
+    milestones, gamma = parse_milestones(cfg.train.lr_schedule)
+    schedule = warmup_multistep_lr(
+        cfg.train.lr, [m * steps_per_epoch for m in milestones], gamma,
+        warmup_steps=cfg.train.warmup_steps,
+    )
+    if cfg.train.optimizer == "adam":
+        tx = optax.adam(schedule)
+    elif cfg.train.optimizer == "rmsprop":
+        tx = optax.rmsprop(schedule, decay=0.9)
+    elif cfg.train.optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.train.optimizer}")
+    chain = []
+    if cfg.train.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.train.grad_clip))
+    if cfg.train.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.train.weight_decay))
+    chain.append(tx)
+    return optax.chain(*chain) if len(chain) > 1 else tx
+
+
+def _build_mesh(cfg):
+    n = len(jax.devices())
+    data = cfg.train.mesh_data or max(
+        1, n // (cfg.train.mesh_depth * cfg.train.mesh_space)
+    )
+    return make_mesh(data=data, depth=cfg.train.mesh_depth,
+                     space=cfg.train.mesh_space)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mvs_tpu train")
+    p.add_argument("--config", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+
+    from mvs_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    mesh = _build_mesh(cfg)
+    plan = volume_sharded_plan(mesh)
+    model, task, collate_name = build_model_and_task(
+        cfg, volume_constraint=plan.constrain_volume
+        if cfg.model.name in ("mvsnet", "cas_mvsnet") else None,
+    )
+    collate = getattr(dtu_io, collate_name)
+
+    train_ds = dtu_io.DTUTrainDataset(
+        cfg.data.root, read_scan_list(cfg.data.train_list),
+        num_views=cfg.data.num_views, num_depth=cfg.data.num_depth,
+        interval_scale=cfg.data.interval_scale,
+    )
+    val_ds = dtu_io.DTUTrainDataset(
+        cfg.data.root, read_scan_list(cfg.data.val_list),
+        num_views=cfg.data.num_views, num_depth=cfg.data.num_depth,
+        interval_scale=cfg.data.interval_scale, lights=(3,),
+    ) if cfg.data.val_list else None
+
+    loader = DataLoader(train_ds, cfg.data.batch_size, collate,
+                        num_threads=cfg.data.num_threads, seed=cfg.train.seed)
+    steps_per_epoch = len(loader)
+    tx = build_optimizer(cfg, steps_per_epoch)
+
+    # Init from one host batch.
+    first = next(iter(loader))
+    rng = jax.random.key(cfg.train.seed)
+    _, (_, variables) = _init_task(task, model, rng, first)
+
+    ckpt = CheckpointManager(f"{cfg.train.log_dir}/ckpt")
+    logger = ScalarLogger(cfg.train.log_dir)
+
+    with jax.set_mesh(mesh):
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=replicate(mesh, variables["params"]),
+            batch_stats=replicate(mesh, variables.get("batch_stats")),
+            tx=tx,
+        )
+        start_epoch = 0
+        if args.resume:
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                start_epoch = int(state.step) // steps_per_epoch
+                print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
+
+        step_fn = make_train_step(task)
+        for epoch in range(start_epoch, cfg.train.epochs):
+            meter = DictAverageMeter()
+            t0 = time.time()
+            for i, batch in enumerate(loader):
+                batch = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, batch)
+                if (i + 1) % cfg.train.summary_every_steps == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    meter.update(host)
+                    rate = (i + 1) * cfg.data.batch_size / (time.time() - t0)
+                    logger.log(int(state.step), host, prefix="train/")
+                    print(f"epoch {epoch} step {i + 1}/{steps_per_epoch} "
+                          f"loss {host['loss']:.4f} ({rate:.2f} samples/s)")
+            logger.log(int(state.step), meter.mean(), prefix="train_epoch/")
+
+            if val_ds is not None:
+                val_loader = DataLoader(val_ds, cfg.data.batch_size, collate,
+                                        shuffle=False,
+                                        num_threads=cfg.data.num_threads)
+                vmeter = DictAverageMeter()
+                for batch in val_loader:
+                    batch = shard_batch(mesh, batch)
+                    _, vmetrics = _eval_metrics(task, state, batch)
+                    vmeter.update({k: float(v) for k, v in vmetrics.items()})
+                logger.log(int(state.step), vmeter.mean(), prefix="val/")
+                print(f"epoch {epoch} val: {vmeter.mean()}")
+
+            if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
+                ckpt.save(int(state.step), state)
+    logger.close()
+    ckpt.close()
+
+
+def _init_task(task, model, rng, batch):
+    """Initialize variables by running the task's apply path once."""
+    import jax.numpy as jnp
+
+    from mvs_tpu.train.tasks import (
+        CascadeTask, MVSNetTask, PointTask, PyramidTask,
+    )
+
+    b = {k: v for k, v in batch.items()}
+    # jit the init: eager op-by-op initialization of these models is orders
+    # of magnitude slower than one compiled program.
+    jinit = jax.jit(model.init, static_argnames=("train", "num_depth"))
+    if isinstance(task, (MVSNetTask, CascadeTask)):
+        variables = jinit(rng, b["imgs"], b["proj_matrices"],
+                          b["depth_values"], train=True)
+    elif isinstance(task, PyramidTask):
+        variables = jinit(rng, b["imgs"], b["intrinsics"], b["extrinsics"],
+                          b["depth_min"], b["depth_max"], train=True)
+    elif isinstance(task, PointTask):
+        variables = jinit(rng, b["imgs"], b["intrinsics"], b["extrinsics"],
+                          b["depth_start"], b["depth_interval"],
+                          num_depth=task.num_depth, train=True)
+    else:
+        raise TypeError(type(task))
+    return None, (None, variables)
+
+
+def _eval_metrics(task, state, batch):
+    loss, (_, metrics) = task.loss_and_metrics(
+        state.params, state.batch_stats, batch, train=False
+    )
+    metrics = dict(metrics)
+    metrics["loss"] = loss
+    return None, metrics
+
+
+if __name__ == "__main__":
+    main()

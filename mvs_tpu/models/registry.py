@@ -1,0 +1,50 @@
+"""Model + task factory from config."""
+
+from __future__ import annotations
+
+from mvs_tpu.models.cas_mvsnet import CasMVSNet
+from mvs_tpu.models.cvp_mvsnet import CVPMVSNet
+from mvs_tpu.models.mvsnet import MVSNet
+from mvs_tpu.models.point_mvsnet import PointMVSNet
+from mvs_tpu.train.tasks import CascadeTask, MVSNetTask, PointTask, PyramidTask
+
+__all__ = ["build_model_and_task", "MODEL_NAMES"]
+
+MODEL_NAMES = ("mvsnet", "cas_mvsnet", "cvp_mvsnet", "aacvp_mvsnet", "point_mvsnet")
+
+
+def build_model_and_task(cfg, volume_constraint=None):
+    """cfg: utils.config.Config. Returns (model, task, collate_fn_name)."""
+    m = cfg.model
+    if m.name == "mvsnet":
+        model = MVSNet(
+            base_channels=m.base_channels, refine=m.refine,
+            normalization=m.normalization, volume_constraint=volume_constraint,
+        )
+        return model, MVSNetTask(model), "collate_mvsnet"
+    if m.name == "cas_mvsnet":
+        model = CasMVSNet(
+            base_channels=m.base_channels, ndepths=tuple(m.ndepths),
+            depth_interval_ratios=tuple(m.depth_interval_ratios),
+            arch_mode=m.arch_mode, share_cr=m.share_cr,
+            normalization=m.normalization, volume_constraint=volume_constraint,
+        )
+        return model, CascadeTask(model), "collate_cascade"
+    if m.name in ("cvp_mvsnet", "aacvp_mvsnet"):
+        aacvp = m.name == "aacvp_mvsnet"
+        model = CVPMVSNet(
+            num_levels=m.num_levels, coarse_depths=m.coarse_depths,
+            num_offsets=m.num_offsets,
+            cost_mode="group_correlation" if aacvp else m.cost_mode,
+            num_groups=m.num_groups, attention=aacvp or m.attention,
+            num_heads=m.num_heads, normalization=m.normalization,
+        )
+        return model, PyramidTask(model), "collate_pyramid"
+    if m.name == "point_mvsnet":
+        model = PointMVSNet(
+            img_base_channels=m.base_channels,
+            flow_scales=tuple(m.flow_scales), inter_scales=tuple(m.inter_scales),
+            normalization=m.normalization,
+        )
+        return model, PointTask(model, num_depth=m.num_depth_coarse), "collate_point"
+    raise ValueError(f"unknown model {m.name!r}; options: {MODEL_NAMES}")

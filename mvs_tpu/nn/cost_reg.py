@@ -1,0 +1,82 @@
+"""3D cost-volume regularization U-Nets (flax.linen, NDHWC).
+
+  * UNetCostRegNet    — 3-level U-Net with additive skips, downsampling all of
+                        (D, H, W) by 2 per level: the MVSNet CostRegNet
+                        (reference MVSNet/models/mvsnet.py:48-93) and, with
+                        configurable in/base channels, the per-stage cascade
+                        regularizer (reference CasMVSNet/models/module.py:407-438)
+  * PyramidCostRegNet — CVP/AACVP's shallower 2-level variant reused across
+                        pyramid levels (reference CVP-MVSNet/models/net.py:52-89)
+
+Volumes are (B, D, H, W, C); the channel dim rides the 128-lane axis and XLA
+maps the 3D convs onto the MXU as implicit GEMMs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock
+
+__all__ = ["UNetCostRegNet", "PyramidCostRegNet"]
+
+_K3 = (3, 3, 3)
+
+
+class UNetCostRegNet(nn.Module):
+    """(B, D, H, W, C_in) -> (B, D, H, W) regularized score volume."""
+
+    base_channels: int = 8
+    normalization: str = "batch"
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base_channels
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
+        conv0 = ConvBlock(b, _K3, **kw)(x, train)
+
+        conv1 = ConvBlock(b * 2, _K3, strides=2, **kw)(conv0, train)
+        conv2 = ConvBlock(b * 2, _K3, **kw)(conv1, train)
+
+        conv3 = ConvBlock(b * 4, _K3, strides=2, **kw)(conv2, train)
+        conv4 = ConvBlock(b * 4, _K3, **kw)(conv3, train)
+
+        conv5 = ConvBlock(b * 8, _K3, strides=2, **kw)(conv4, train)
+        conv6 = ConvBlock(b * 8, _K3, **kw)(conv5, train)
+
+        x = conv4 + ConvTransposeBlock(b * 4, _K3, strides=2, **kw)(conv6, train)
+        x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(x, train)
+        x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
+        # Final plain conv to a single score channel.
+        score = nn.Conv(1, _K3, padding="SAME")(x)
+        return score[..., 0]
+
+
+class PyramidCostRegNet(nn.Module):
+    """(B, D, H, W, C_in) -> (B, D, H, W); shared across pyramid levels."""
+
+    base_channels: int = 16
+    normalization: str = "batch"
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base_channels
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
+        conv0 = ConvBlock(b, _K3, **kw)(x, train)
+        conv0 = ConvBlock(b, _K3, **kw)(conv0, train)
+
+        conv2 = ConvBlock(b * 2, _K3, strides=2, **kw)(conv0, train)
+        conv2 = ConvBlock(b * 2, _K3, **kw)(conv2, train)
+        conv2 = ConvBlock(b * 2, _K3, **kw)(conv2, train)
+
+        conv4 = ConvBlock(b * 4, _K3, **kw)(conv2, train)
+        conv4 = ConvBlock(b * 4, _K3, **kw)(conv4, train)
+        conv4 = ConvBlock(b * 4, _K3, **kw)(conv4, train)
+
+        # Channel-halving "transpose" at stride 1, then a true 2x upsample.
+        x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=1, **kw)(conv4, train)
+        x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
+        score = nn.Conv(1, _K3, padding="SAME")(x)
+        return score[..., 0]

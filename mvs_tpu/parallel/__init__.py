@@ -1,0 +1,12 @@
+from mvs_tpu.parallel.mesh import AXES, data_parallel_mesh, make_mesh
+from mvs_tpu.parallel.sharding import (
+    ShardingPlan, data_parallel_plan, replicate, shard_batch, volume_sharded_plan,
+)
+from mvs_tpu.parallel.collectives import psum_metrics, view_sharded_variance_volume
+
+__all__ = [
+    "AXES", "data_parallel_mesh", "make_mesh",
+    "ShardingPlan", "data_parallel_plan", "replicate", "shard_batch",
+    "volume_sharded_plan",
+    "psum_metrics", "view_sharded_variance_volume",
+]

@@ -1,0 +1,82 @@
+"""Sharding plans: how batches, params, and cost volumes lay out on the mesh.
+
+Under pjit/GSPMD, annotating the big intermediates is all that's needed —
+XLA inserts the collectives (psum for batch-sharded BN/grads, halo exchange
+for depth/space-sharded 3D convs). This module centralizes those annotations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ShardingPlan", "data_parallel_plan", "volume_sharded_plan",
+           "shard_batch", "replicate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    """PartitionSpecs for the pipeline's key tensors.
+
+    batch_spec:  leading dim of every per-sample input (imgs, projs, depths)
+    volume_spec: the (B, D, H, W, C) cost volume / regularizer activations
+    depth_spec:  (B, D, H, W) score/prob volumes
+    """
+
+    mesh: Mesh
+    batch_spec: P
+    volume_spec: P
+    depth_spec: P
+
+    def constrain_volume(self, vol: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.with_sharding_constraint(
+            vol, NamedSharding(self.mesh, self.volume_spec)
+        )
+
+    def constrain_scores(self, s: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.with_sharding_constraint(
+            s, NamedSharding(self.mesh, self.depth_spec)
+        )
+
+
+def data_parallel_plan(mesh: Mesh) -> ShardingPlan:
+    """Pure DP: batch over 'data'; volumes follow the batch."""
+    return ShardingPlan(
+        mesh=mesh,
+        batch_spec=P("data"),
+        volume_spec=P("data", None, None, None, None),
+        depth_spec=P("data", None, None, None),
+    )
+
+
+def volume_sharded_plan(mesh: Mesh) -> ShardingPlan:
+    """DP + model parallelism inside each volume: depth slabs over 'depth',
+    spatial rows over 'space'. GSPMD handles 3D-conv halos; the softmax over
+    the sharded D axis becomes an all-reduce of max/sum, also automatic."""
+    return ShardingPlan(
+        mesh=mesh,
+        batch_spec=P("data"),
+        volume_spec=P("data", "depth", "space", None, None),
+        depth_spec=P("data", "depth", "space", None),
+    )
+
+
+def shard_batch(mesh: Mesh, batch, spec: P = P("data")):
+    """Place a pytree of host arrays onto the mesh, batch-dim sharded."""
+    sharding = NamedSharding(mesh, spec)
+
+    def _put(x):
+        x = jnp.asarray(x)
+        tspec = P(*(spec + (None,) * (x.ndim - len(spec))))
+        return jax.device_put(x, NamedSharding(mesh, tspec))
+
+    return jax.tree.map(_put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params, opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

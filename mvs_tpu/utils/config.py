@@ -1,0 +1,166 @@
+"""Hierarchical config: nested dataclasses + YAML file + dotted CLI overrides.
+
+Replaces both reference config styles — flat argparse with string-encoded
+schedules (MVSNet/train.py:28-54) and yacs CfgNode with yaml/CLI merge
+(PointMVSNet/pointmvsnet/config.py:5-168) — with typed dataclasses.
+Overrides use dotted paths: ``train.lr=0.001 model.ndepths=48,32,8``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from pathlib import Path
+
+__all__ = [
+    "ModelConfig", "DataConfig", "TrainConfig", "FusionCfg", "EvalConfig",
+    "Config", "load_config", "apply_overrides", "config_to_dict",
+]
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "cas_mvsnet"  # mvsnet | cas_mvsnet | cvp_mvsnet | aacvp_mvsnet | point_mvsnet
+    base_channels: int = 8
+    normalization: str = "batch"
+    # MVSNet
+    refine: bool = False
+    # cascade
+    ndepths: tuple = (48, 32, 8)
+    depth_interval_ratios: tuple = (4.0, 2.0, 1.0)
+    arch_mode: str = "fpn"
+    share_cr: bool = False
+    # pyramid (CVP/AACVP)
+    num_levels: int = 2
+    coarse_depths: int = 48
+    num_offsets: int = 4
+    cost_mode: str = "variance"
+    num_groups: int = 4
+    attention: bool = False
+    num_heads: int = 1
+    # point
+    num_depth_coarse: int = 48
+    flow_scales: tuple = (0.25, 0.5)
+    inter_scales: tuple = (0.75, 0.375)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root: str = ""
+    train_list: str = ""
+    val_list: str = ""
+    eval_root: str = ""
+    eval_list: str = ""
+    num_views: int = 3
+    num_depth: int = 192
+    interval_scale: float = 1.06
+    batch_size: int = 1
+    num_threads: int = 2
+    max_h: int = 864
+    max_w: int = 1152
+    align: int = 32
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 16
+    lr: float = 0.001
+    lr_schedule: str = "10,12,14:2"  # multistep milestones:divisor
+    warmup_steps: int = 500
+    weight_decay: float = 0.0
+    optimizer: str = "adam"  # adam | rmsprop | sgd
+    grad_clip: float = 0.0
+    seed: int = 1
+    log_dir: str = "runs/default"
+    ckpt_every_epochs: int = 1
+    summary_every_steps: int = 20
+    bf16: bool = False
+    # mesh
+    mesh_data: int = 0  # 0 = all devices on data axis
+    mesh_depth: int = 1
+    mesh_space: int = 1
+
+
+@dataclasses.dataclass
+class FusionCfg:
+    conf_thresh: float = 0.9
+    num_consistent: int = 3
+    pixel_thresh: float = 1.0
+    depth_thresh: float = 0.01
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    gt_points_dir: str = ""  # DTU Points/stl
+    obs_mask_dir: str = ""  # DTU ObsMask
+    out_dir: str = "outputs"
+    max_dist: float = 20.0
+    decimation: float = 0.2
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    fusion: FusionCfg = dataclasses.field(default_factory=FusionCfg)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+
+def _coerce(value: str, current):
+    """Parse a CLI string into the type of the current field value."""
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        elem = current[0] if current else 1.0
+        return tuple(type(elem)(v) for v in value.split(","))
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must look like section.key=value")
+        path, value = ov.split("=", 1)
+        parts = path.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        key = parts[-1]
+        if not hasattr(obj, key):
+            raise KeyError(f"unknown config key {path!r}")
+        setattr(obj, key, _coerce(value, getattr(obj, key)))
+    return cfg
+
+
+def _merge_dict(obj, d: dict):
+    for k, v in d.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key {k!r} in yaml")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur):
+            _merge_dict(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            setattr(obj, k, tuple(v))
+        else:
+            setattr(obj, k, v)
+
+
+def load_config(yaml_path=None, overrides: list[str] | None = None) -> Config:
+    cfg = Config()
+    if yaml_path:
+        import yaml
+
+        with open(yaml_path) as f:
+            _merge_dict(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mvs_tpu.models.cvp_mvsnet import CVPMVSNet
+from mvs_tpu.train.losses import pyramid_loss
+from mvs_tpu.utils.synthetic import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def cvp_batch():
+    scene = make_plane_scene(num_views=3, height=32, width=32, z0=10.0)
+    imgs = jnp.asarray(scene.images)[None]
+    intr = jnp.asarray(scene.intrinsics)[None]
+    extr = jnp.asarray(scene.extrinsics)[None]
+    dmin = jnp.asarray([8.0])
+    dmax = jnp.asarray([12.0])
+    gt_levels = [
+        jnp.asarray(scene.depths[0])[None],
+        jnp.asarray(scene.depths[0][::2, ::2])[None],
+    ]
+    masks = [jnp.ones_like(g) for g in gt_levels]
+    return imgs, intr, extr, dmin, dmax, gt_levels, masks
+
+
+def test_cvp_forward_shapes(cvp_batch):
+    imgs, intr, extr, dmin, dmax, _, _ = cvp_batch
+    model = CVPMVSNet(num_levels=2, coarse_depths=16)
+    params = model.init(jax.random.key(0), imgs, intr, extr, dmin, dmax)
+    out = model.apply(params, imgs, intr, extr, dmin, dmax)
+    assert out["depth"].shape == (1, 32, 32)
+    assert [d.shape for d in out["depth_levels"]] == [(1, 32, 32), (1, 16, 16)]
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all()
+
+
+def test_aacvp_variant_forward(cvp_batch):
+    imgs, intr, extr, dmin, dmax, _, _ = cvp_batch
+    model = CVPMVSNet(
+        num_levels=2, coarse_depths=16,
+        cost_mode="group_correlation", num_groups=4, attention=True, num_heads=2,
+    )
+    params = model.init(jax.random.key(0), imgs, intr, extr, dmin, dmax)
+    out = model.apply(params, imgs, intr, extr, dmin, dmax)
+    assert out["depth"].shape == (1, 32, 32)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    # Attention layer must register its relative positional embeddings.
+    flat = jax.tree_util.tree_leaves_with_path(params["params"])
+    names = "/".join(str(p) for p, _ in flat)
+    assert "rel_h" in names and "rel_w" in names
+
+
+def test_cvp_epipolar_interval_mode(cvp_batch):
+    imgs, intr, extr, dmin, dmax, _, _ = cvp_batch
+    model = CVPMVSNet(num_levels=2, coarse_depths=16, use_epipolar_interval=True)
+    params = model.init(jax.random.key(0), imgs, intr, extr, dmin, dmax)
+    out = model.apply(params, imgs, intr, extr, dmin, dmax)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_cvp_overfits_synthetic_plane(cvp_batch):
+    imgs, intr, extr, dmin, dmax, gt_levels, masks = cvp_batch
+    model = CVPMVSNet(num_levels=2, coarse_depths=16, train_interval=0.5)
+    variables = model.init(jax.random.key(1), imgs, intr, extr, dmin, dmax, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs, intr, extr, dmin, dmax, train=True, mutable=["batch_stats"],
+            )
+            return pyramid_loss(out["depth_levels"], gt_levels, masks), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        pu, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, pu), updates["batch_stats"], opt_state, loss
+
+    losses = []
+    for _ in range(15):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses

@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mvs_tpu.geometry import relative_projection, uniform_depth_values
+from mvs_tpu.models import MVSNet
+from mvs_tpu.ops import variance_cost_volume
+from mvs_tpu.parallel import (
+    data_parallel_mesh, make_mesh, psum_metrics, replicate, shard_batch,
+    view_sharded_variance_volume, volume_sharded_plan,
+)
+from mvs_tpu.train import MVSNetTask, TrainState, make_train_step
+from mvs_tpu.utils.synthetic import make_plane_scene
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(data=2, view=2, depth=2, space=1)
+    assert mesh.axis_names == ("data", "view", "depth", "space")
+    assert mesh.shape["data"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(data=3, view=3)
+
+
+def test_view_sharded_variance_matches_dense():
+    """View-axis sharding with psum == single-device variance volume."""
+    scene = make_plane_scene(num_views=5, height=32, width=32, z0=10.0)
+    feats = jnp.asarray(scene.images)  # use images as stand-in features
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[v], proj[0]) for v in range(1, 5)])
+    depths = uniform_depth_values(8.0, 0.5, 8)
+
+    dense = variance_cost_volume(feats[0], feats[1:], rels, depths)
+
+    mesh = make_mesh(view=4, data=1, depth=1, space=2)
+    sharded = view_sharded_variance_volume(
+        mesh, feats[0], feats[1:], rels, depths
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_psum_metrics_mean():
+    mesh = data_parallel_mesh()
+    from jax import shard_map
+
+    vals = jnp.arange(8, dtype=jnp.float32)
+
+    out = shard_map(
+        lambda v: psum_metrics({"m": v.sum()}, "data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P(),
+        check_vma=False,
+    )(vals)
+    assert float(out["m"]) == pytest.approx(np.arange(8).mean())
+
+
+def _mvsnet_batch(batch_size):
+    from mvs_tpu.geometry import compose_projection, scale_intrinsics
+
+    scenes = [
+        make_plane_scene(num_views=3, height=64, width=64, z0=10.0, seed=s)
+        for s in range(batch_size)
+    ]
+    imgs = jnp.asarray(np.stack([s.images for s in scenes]))
+    k = scale_intrinsics(jnp.asarray(np.stack([s.intrinsics for s in scenes])), 0.25)
+    proj = compose_projection(k, jnp.asarray(np.stack([s.extrinsics for s in scenes])))
+    depth_values = jnp.broadcast_to(jnp.linspace(8.0, 12.0, 16), (batch_size, 16))
+    gt = jnp.asarray(np.stack([s.depths[0][::4, ::4] for s in scenes]))
+    return {
+        "imgs": imgs, "proj_matrices": proj, "depth_values": depth_values,
+        "depth_gt": gt, "mask": jnp.ones_like(gt),
+    }
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """The same batch through a 1-device and an 8-device mesh gives the same
+    loss and gradients (GSPMD DP == serial compute)."""
+    batch = _mvsnet_batch(8)
+    model = MVSNet()
+    variables = model.init(
+        jax.random.key(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=True,
+    )
+    task = MVSNetTask(model)
+
+    def run(mesh):
+        with jax.set_mesh(mesh):
+            state = TrainState.create(
+                apply_fn=model.apply,
+                params=replicate(mesh, variables["params"]),
+                batch_stats=replicate(mesh, variables["batch_stats"]),
+                tx=optax.sgd(1e-2),
+            )
+            sb = shard_batch(mesh, batch)
+            step = make_train_step(task, donate=False)
+            new_state, metrics = step(state, sb)
+            return float(metrics["loss"]), jax.tree.map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                new_state.params, variables["params"],
+            )
+
+    loss_dp, delta_dp = run(data_parallel_mesh())
+    loss_1, delta_1 = run(make_mesh(data=1, devices=jax.devices()[:1]))
+    assert loss_dp == pytest.approx(loss_1, rel=1e-4)
+    d_dp = np.array(jax.tree.leaves(delta_dp))
+    d_1 = np.array(jax.tree.leaves(delta_1))
+    np.testing.assert_allclose(d_dp, d_1, rtol=1e-3, atol=1e-6)
+
+
+def test_volume_sharded_forward_matches_dense():
+    """Depth/space-sharded cost volume produces the same depths as unsharded."""
+    batch = _mvsnet_batch(2)
+    mesh = make_mesh(data=2, depth=2, space=2)
+    plan = volume_sharded_plan(mesh)
+
+    model_dense = MVSNet()
+    variables = model_dense.init(
+        jax.random.key(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=False,
+    )
+    out_dense = model_dense.apply(
+        variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+    )
+
+    model_sharded = MVSNet(volume_constraint=plan.constrain_volume)
+    with jax.set_mesh(mesh):
+        sb = shard_batch(mesh, batch)
+        out_sharded = jax.jit(
+            lambda v, b: model_sharded.apply(
+                v, b["imgs"], b["proj_matrices"], b["depth_values"]
+            )
+        )(replicate(mesh, variables), sb)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["depth"]), np.asarray(out_dense["depth"]),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[0] == 1
+    ge.dryrun_multichip(8)
