@@ -24,6 +24,16 @@ BASELINE_DEPTH_MAPS_PER_SEC = 2.04
 
 def main():
     import jax
+
+    # Persistent compilation cache: full-resolution cascade programs take
+    # minutes to compile; cache them across bench invocations.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/mvs_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from mvs_tpu.geometry import compose_projection, scale_intrinsics
@@ -35,6 +45,7 @@ def main():
     num_views = int(os.environ.get("BENCH_VIEWS", 5))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
+    sampler = os.environ.get("BENCH_SAMPLER", "hat")
 
     scene = make_plane_scene(num_views=num_views, height=height, width=width,
                              z0=10.0)
@@ -47,7 +58,7 @@ def main():
     }
     depth_values = jnp.broadcast_to(jnp.linspace(8.0, 12.0, 192), (1, 192))
 
-    model = CasMVSNet(ndepths=(48, 32, 8), compute_dtype=dtype)
+    model = CasMVSNet(ndepths=(48, 32, 8), compute_dtype=dtype, sampler=sampler)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(0), imgs, proj, depth_values, train=False)
 

@@ -92,6 +92,7 @@ def main(argv=None):
         num_consistent=cfg.fusion.num_consistent,
         pixel_thresh=cfg.fusion.pixel_thresh,
         depth_thresh=cfg.fusion.depth_thresh,
+        depth_mode=cfg.fusion.depth_mode,
     )
 
     out_root = Path(args.out)

@@ -25,13 +25,19 @@ __all__ = ["reduce_points", "ScanEvalResult", "evaluate_scan", "aggregate_scans"
 
 
 def reduce_points(pts: np.ndarray, dst: float = 0.2, seed: int | None = 0,
-                  chunk: int = 4_000_000) -> np.ndarray:
+                  chunk: int = 4_000_000, use_native: bool = True) -> np.ndarray:
     """Stochastic decimation: visit points in random order, keep a point iff no
     already-kept point lies within `dst`. Matches reducePts_haa.m (the
     reference uses MATLAB randperm; pass seed=None for nondeterministic order).
 
-    pts: (N, 3). Returns a boolean keep-mask (N,).
+    pts: (N, 3). Returns a boolean keep-mask (N,). Uses the C++ KD-tree core
+    (mvs_tpu.native) when built; falls back to scipy.
     """
+    if use_native:
+        from mvs_tpu import native
+
+        if native.available():
+            return native.reduce_points_mask(pts, dst, seed=seed)
     n = pts.shape[0]
     rng = np.random.default_rng(seed)
     order = rng.permutation(n) if seed is not None else np.random.permutation(n)
@@ -64,6 +70,10 @@ class ScanEvalResult:
 
 
 def _nn_distances(query: np.ndarray, target: np.ndarray) -> np.ndarray:
+    from mvs_tpu import native
+
+    if native.available():
+        return native.nn_distances(query, target).astype(np.float64)
     dists, _ = cKDTree(target).query(query, k=1, workers=-1)
     return dists
 

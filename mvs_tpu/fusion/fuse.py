@@ -31,19 +31,33 @@ __all__ = ["fuse_view", "fuse_depth_maps", "FusionConfig"]
 
 
 class FusionConfig:
-    """Thresholds pinned by the reference configs (BASELINE.md fusion row)."""
+    """Thresholds pinned by the reference configs (BASELINE.md fusion row).
+
+    depth_mode:
+      'relative' — round-trip depth within depth_thresh fraction of the ref
+        depth (the reference python fuser, MVSNet/eval.py:206);
+      'absolute' — round-trip depth within depth_thresh distance units
+        (fusibile's disp_thresh semantics: the gipuma bridge writes depths
+        straight into disp.dmb, so its 0.25 "disparity" threshold is an
+        absolute depth threshold — CasMVSNet/gipuma.py:153-189,
+        fusibile/fusibile.cu:179-253).
+    """
 
     def __init__(self, conf_thresh: float = 0.8, num_consistent: int = 3,
-                 pixel_thresh: float = 1.0, depth_thresh: float = 0.01):
+                 pixel_thresh: float = 1.0, depth_thresh: float = 0.01,
+                 depth_mode: str = "relative"):
+        assert depth_mode in ("relative", "absolute"), depth_mode
         self.conf_thresh = conf_thresh
         self.num_consistent = num_consistent
         self.pixel_thresh = pixel_thresh
         self.depth_thresh = depth_thresh
+        self.depth_mode = depth_mode
 
 
-@partial(jax.jit, static_argnames=("pixel_thresh", "depth_thresh"))
+@partial(jax.jit, static_argnames=("pixel_thresh", "depth_thresh", "depth_mode"))
 def _view_consistency(ref_depth, ref_intr, ref_extr, src_depths, src_intrs,
-                      src_extrs, pixel_thresh: float, depth_thresh: float):
+                      src_extrs, pixel_thresh: float, depth_thresh: float,
+                      depth_mode: str = "relative"):
     """Vectorized consistency of one ref view against S source views.
 
     Returns (geo_count (H,W), depth_sum (H,W)) where depth_sum accumulates the
@@ -53,6 +67,7 @@ def _view_consistency(ref_depth, ref_intr, ref_extr, src_depths, src_intrs,
         lambda sd, si, se: geometric_consistency(
             ref_depth, ref_intr, ref_extr, sd, si, se,
             pixel_thresh=pixel_thresh, depth_thresh=depth_thresh,
+            depth_mode=depth_mode,
         )
     )(src_depths, src_intrs, src_extrs)
     return masks.sum(axis=0).astype(jnp.int32), depths_rt.sum(axis=0)
@@ -77,6 +92,7 @@ def fuse_view(ref_idx: int, src_idxs, depths, confs, intrinsics, extrinsics,
         depths[ref_idx], intrinsics[ref_idx], extrinsics[ref_idx],
         depths[src_idxs], intrinsics[src_idxs], extrinsics[src_idxs],
         pixel_thresh=config.pixel_thresh, depth_thresh=config.depth_thresh,
+        depth_mode=config.depth_mode,
     )
     geo_mask = np.asarray(geo_count) >= config.num_consistent
     photo_mask = np.asarray(confs[ref_idx]) > config.conf_thresh

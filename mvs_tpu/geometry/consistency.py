@@ -78,13 +78,21 @@ def geometric_consistency(
     depth_ref: jnp.ndarray, intr_ref: jnp.ndarray, extr_ref: jnp.ndarray,
     depth_src: jnp.ndarray, intr_src: jnp.ndarray, extr_src: jnp.ndarray,
     pixel_thresh: float = 1.0, depth_thresh: float = 0.01,
+    depth_mode: str = "relative",
 ):
-    """Returns (mask (H,W) bool, round-trip depth (H,W) zeroed where inconsistent)."""
+    """Returns (mask (H,W) bool, round-trip depth (H,W) zeroed where inconsistent).
+
+    depth_mode 'relative': |Δd|/d_ref < depth_thresh (python fuser);
+    'absolute': |Δd| < depth_thresh (fusibile disp_thresh semantics).
+    """
     h, w = depth_ref.shape
     res = reproject_with_depth(depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src)
     grid = pixel_grid(h, w)
     dist = jnp.linalg.norm(res.coords_reprojected - grid[:2].transpose(1, 2, 0), axis=-1)
     depth_diff = jnp.abs(res.depth_reprojected - depth_ref)
-    relative = depth_diff / jnp.maximum(depth_ref, 1e-6)
-    mask = (dist < pixel_thresh) & (relative < depth_thresh) & (depth_ref > 0)
+    if depth_mode == "relative":
+        depth_err = depth_diff / jnp.maximum(depth_ref, 1e-6)
+    else:
+        depth_err = depth_diff
+    mask = (dist < pixel_thresh) & (depth_err < depth_thresh) & (depth_ref > 0)
     return mask, jnp.where(mask, res.depth_reprojected, 0.0)

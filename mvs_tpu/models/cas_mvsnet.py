@@ -42,6 +42,7 @@ class CasMVSNet(nn.Module):
     normalization: str = "batch"
     axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
+    sampler: str = "gather"  # 'gather' (exact) | 'hat' (TPU fast path)
     # Optional sharding-constraint hook for each stage's (B, D, H, W, C)
     # cost volume (see parallel.ShardingPlan).
     volume_constraint: Any = None
@@ -99,9 +100,10 @@ class CasMVSNet(nn.Module):
                 )
             )(cur_depth, interval)  # (B, D_s, sh, sw)
 
-            volume = jax.vmap(variance_cost_volume)(
-                stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp
-            )
+            volume = jax.vmap(
+                lambda rf, sf, rp, hh: variance_cost_volume(
+                    rf, sf, rp, hh, sampler=self.sampler)
+            )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             if self.volume_constraint is not None:
                 volume = self.volume_constraint(volume)
 

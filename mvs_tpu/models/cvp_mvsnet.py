@@ -49,6 +49,7 @@ class CVPMVSNet(nn.Module):
     attention: bool = False  # AACVP self-attention feature tail
     num_heads: int = 1
     use_epipolar_interval: bool = False  # test-time per-scene interval
+    sampler: str = "gather"  # 'gather' (exact) | 'hat' (TPU fast path)
     reg_base_channels: int = 16
     normalization: str = "batch"
     axis_name: str | None = None
@@ -56,10 +57,12 @@ class CVPMVSNet(nn.Module):
 
     def _cost_volume(self, ref_feat, src_feats, rel_projs, hyp):
         if self.cost_mode == "variance":
-            return variance_cost_volume(ref_feat, src_feats, rel_projs, hyp)
+            return variance_cost_volume(ref_feat, src_feats, rel_projs, hyp,
+                                        sampler=self.sampler)
         if self.cost_mode == "group_correlation":
             return group_correlation_cost_volume(
-                ref_feat, src_feats, rel_projs, hyp, self.num_groups
+                ref_feat, src_feats, rel_projs, hyp, self.num_groups,
+                sampler=self.sampler,
             )
         raise ValueError(f"unknown cost_mode {self.cost_mode!r}")
 

@@ -56,6 +56,7 @@ class MVSNet(nn.Module):
     normalization: str = "batch"
     axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
+    sampler: str = "gather"  # 'gather' (exact) | 'hat' (TPU fast path)
     # Optional callable applying a sharding constraint to the (B, D, H, W, C)
     # cost volume — the hook through which parallel.ShardingPlan shards depth
     # slabs / spatial tiles over the mesh (GSPMD handles the conv halos).
@@ -79,7 +80,8 @@ class MVSNet(nn.Module):
         )
 
         def build_volume(ref_feat, src_feats, rels, depths):
-            return variance_cost_volume(ref_feat, src_feats, rels, depths)
+            return variance_cost_volume(ref_feat, src_feats, rels, depths,
+                                        sampler=self.sampler)
 
         volume = jax.vmap(build_volume)(
             feats[:, 0], feats[:, 1:], rel_projs, depth_values

@@ -23,7 +23,21 @@ __all__ = [
     "variance_cost_volume",
     "group_correlation_cost_volume",
     "variance_from_partials",
+    "get_warp_fn",
 ]
+
+
+def get_warp_fn(sampler: str):
+    """'gather' = exact grid-sample semantics (geometry.sampling);
+    'hat' = gather-free two-pass hat-matmul warp (ops.hat_warp), the TPU
+    fast path."""
+    if sampler == "gather":
+        return warp_src_feature
+    if sampler == "hat":
+        from mvs_tpu.ops.hat_warp import warp_src_feature_hat
+
+        return warp_src_feature_hat
+    raise ValueError(f"unknown sampler {sampler!r}")
 
 
 def variance_cost_volume(
@@ -31,10 +45,19 @@ def variance_cost_volume(
     src_feats: jnp.ndarray,  # (V, H, W, C)
     rel_projs: jnp.ndarray,  # (V, 4, 4) src @ ref^-1
     depth_values: jnp.ndarray,  # (D,) or (D, H, W)
+    sampler: str = "gather",
 ) -> jnp.ndarray:
     """Variance-aggregated cost volume (D, H, W, C) over ref + V source views."""
+    if sampler == "hat":
+        # Fully fused path: per-chunk warp + moment accumulation in one loop.
+        from mvs_tpu.ops.hat_warp import fused_variance_volume_hat
+
+        return fused_variance_volume_hat(ref_feat, src_feats, rel_projs,
+                                         depth_values)
+
     num_views = src_feats.shape[0] + 1
     d = depth_values.shape[0]
+    warp = get_warp_fn(sampler)
 
     ref_volume = jnp.broadcast_to(ref_feat[None], (d,) + ref_feat.shape)
     sum_f = ref_volume
@@ -42,7 +65,7 @@ def variance_cost_volume(
     # V is small (2-7) and static: unrolled at trace time; each iteration's
     # warped volume is consumed immediately so XLA frees it after the adds.
     for v in range(src_feats.shape[0]):
-        warped = warp_src_feature(src_feats[v], rel_projs[v], depth_values)
+        warped = warp(src_feats[v], rel_projs[v], depth_values)
         sum_f = sum_f + warped
         sum_sq = sum_sq + warped * warped
 
@@ -61,6 +84,7 @@ def group_correlation_cost_volume(
     rel_projs: jnp.ndarray,  # (V, 4, 4)
     depth_values: jnp.ndarray,  # (D,) or (D, H, W)
     num_groups: int,
+    sampler: str = "gather",
 ) -> jnp.ndarray:
     """Group-wise correlation cost volume (D, H, W, G).
 
@@ -70,11 +94,12 @@ def group_correlation_cost_volume(
     h, w, c = ref_feat.shape
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     d = depth_values.shape[0]
+    warp = get_warp_fn(sampler)
     ref_g = ref_feat.reshape(h, w, num_groups, c // num_groups)
 
     corr_sum = jnp.zeros((d, h, w, num_groups), dtype=ref_feat.dtype)
     for v in range(src_feats.shape[0]):
-        warped = warp_src_feature(src_feats[v], rel_projs[v], depth_values)
+        warped = warp(src_feats[v], rel_projs[v], depth_values)
         warped_g = warped.reshape(d, h, w, num_groups, c // num_groups)
         corr_sum = corr_sum + jnp.mean(warped_g * ref_g[None], axis=-1)
 

@@ -87,6 +87,7 @@ class FusionCfg:
     num_consistent: int = 3
     pixel_thresh: float = 1.0
     depth_thresh: float = 0.01
+    depth_mode: str = "relative"  # 'relative' (python fuser) | 'absolute' (fusibile)
 
 
 @dataclasses.dataclass
