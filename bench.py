@@ -59,8 +59,18 @@ def main():
     depth_values = jnp.broadcast_to(jnp.linspace(8.0, 12.0, 192), (1, 192))
 
     model = CasMVSNet(ndepths=(48, 32, 8), compute_dtype=dtype, sampler=sampler)
+    # Conv params are resolution-independent: initialize on a tiny dummy to
+    # avoid compiling the full-resolution graph twice (init + forward).
+    small = make_plane_scene(num_views=num_views, height=64, width=64, z0=10.0)
+    s_imgs = jnp.asarray(small.images)[None]
+    s_intr = jnp.asarray(small.intrinsics)[None]
+    s_extr = jnp.asarray(small.extrinsics)[None]
+    s_proj = {
+        f"stage{i + 1}": compose_projection(scale_intrinsics(s_intr, s), s_extr)
+        for i, s in enumerate((0.25, 0.5, 1.0))
+    }
     variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.key(0), imgs, proj, depth_values, train=False)
+        jax.random.key(0), s_imgs, s_proj, depth_values, train=False)
 
     @jax.jit
     def forward(variables, imgs, proj, depth_values):

@@ -81,6 +81,8 @@ def main(argv=None):
         max_h=cfg.data.max_h, max_w=cfg.data.max_w, align=cfg.data.align,
     )
 
+    # (Params come entirely from the checkpoint; no full-res init needed —
+    # conv parameter shapes are resolution-independent.)
     ckpt = CheckpointManager(args.ckpt)
     restored = ckpt.restore_raw()
     if restored is None:

@@ -48,6 +48,13 @@ def build_optimizer(cfg, steps_per_epoch: int):
         tx = optax.rmsprop(schedule, decay=0.9)
     elif cfg.train.optimizer == "sgd":
         tx = optax.sgd(schedule, momentum=0.9)
+    elif cfg.train.optimizer == "radam":
+        tx = optax.radam(schedule)
+    elif cfg.train.optimizer == "ranger":
+        # RAdam + Lookahead (the reference MVSNet_pl Ranger option,
+        # utils/optimizers.py).
+        tx = optax.lookahead(optax.radam(schedule), sync_period=6,
+                             slow_step_size=0.5)
     else:
         raise ValueError(f"unknown optimizer {cfg.train.optimizer}")
     chain = []

@@ -25,9 +25,12 @@ from mvs_tpu.io.pairs import read_pair_file
 from mvs_tpu.io.pfm import read_pfm
 
 __all__ = [
-    "read_image", "DTUTrainDataset", "DTUEvalDataset",
+    "read_image", "imagenet_normalize", "DTUTrainDataset", "DTUEvalDataset",
     "collate_mvsnet", "collate_cascade", "collate_pyramid", "collate_point",
 ]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def read_image(path) -> np.ndarray:
@@ -36,6 +39,11 @@ def read_image(path) -> np.ndarray:
 
     with Image.open(path) as img:
         return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def imagenet_normalize(img: np.ndarray) -> np.ndarray:
+    """The MVSNet_pl input normalization (reference datasets/dtu.py:71-81)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
 @dataclasses.dataclass

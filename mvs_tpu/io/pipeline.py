@@ -30,6 +30,7 @@ class DataLoader:
         num_threads: int = 2,
         prefetch: int = 2,
         shard_by_process: bool = True,
+        max_sample_retries: int = 3,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,7 +41,20 @@ class DataLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.shard_by_process = shard_by_process
+        self.max_sample_retries = max_sample_retries
         self.epoch = 0
+
+    def _get_sample(self, idx: int, rng: np.random.Generator):
+        """Fetch one sample, substituting a random index on decode failure
+        (the reference's unreadable-image retry loop,
+        PointMVSNet/pointmvsnet/dataset.py:106-113)."""
+        for attempt in range(self.max_sample_retries + 1):
+            try:
+                return self.dataset[int(idx)]
+            except Exception:
+                if attempt == self.max_sample_retries:
+                    raise
+                idx = rng.integers(0, len(self.dataset))
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -83,13 +97,14 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
+            rng = np.random.default_rng(self.seed + self.epoch * 7919)
             while not stop.is_set():
                 try:
                     bi, b = in_q.get_nowait()
                 except queue.Empty:
                     return
                 try:
-                    batch = self.collate_fn([self.dataset[int(i)] for i in b])
+                    batch = self.collate_fn([self._get_sample(i, rng) for i in b])
                     out_q.put((bi, batch))
                 except Exception as e:  # surface errors to the consumer
                     out_q.put((bi, e))

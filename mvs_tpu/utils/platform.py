@@ -13,11 +13,21 @@ __all__ = ["ensure_platform"]
 
 
 def ensure_platform() -> None:
+    import jax
+
+    # Persistent compilation cache: full-resolution MVS programs take minutes
+    # to compile; share compilations across processes/invocations.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/mvs_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     n_cpu = int(os.environ.get("MVS_TPU_CPU_DEVICES", "0"))
     if not n_cpu:
         return
-    import jax
-
     try:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", n_cpu)
