@@ -42,7 +42,9 @@ class CasMVSNet(nn.Module):
     normalization: str = "batch"
     axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
-    sampler: str = "gather"  # 'gather' (exact) | 'hat' (TPU fast path)
+    # 'gather' (exact) | 'hat' (TPU fast path: dense two-pass for the global
+    # stage-1 sweep, banded tiles for the narrow per-pixel refine stages).
+    sampler: str = "gather"
     # Optional sharding-constraint hook for each stage's (B, D, H, W, C)
     # cost volume (see parallel.ShardingPlan).
     volume_constraint: Any = None
@@ -100,9 +102,16 @@ class CasMVSNet(nn.Module):
                 )
             )(cur_depth, interval)  # (B, D_s, sh, sw)
 
+            sampler = self.sampler
+            if sampler == "hat" and stage_idx > 0:
+                # Refine stages sweep narrow per-pixel windows at high
+                # resolution: each output tile's samples live in a small
+                # source window, so the banded tiled warp cuts the hat
+                # matmuls' contraction size by ~HW/(band_h*band_w).
+                sampler = "hat_banded"
             volume = jax.vmap(
                 lambda rf, sf, rp, hh: variance_cost_volume(
-                    rf, sf, rp, hh, sampler=self.sampler)
+                    rf, sf, rp, hh, sampler=sampler)
             )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             if self.volume_constraint is not None:
                 volume = self.volume_constraint(volume)

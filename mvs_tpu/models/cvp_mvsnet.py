@@ -57,8 +57,13 @@ class CVPMVSNet(nn.Module):
 
     def _cost_volume(self, ref_feat, src_feats, rel_projs, hyp):
         if self.cost_mode == "variance":
+            sampler = self.sampler
+            if sampler == "hat" and hyp.ndim == 3:
+                # Per-pixel residual windows at refine levels: banded tiles
+                # contract only each tile's source window (see ops.hat_warp).
+                sampler = "hat_banded"
             return variance_cost_volume(ref_feat, src_feats, rel_projs, hyp,
-                                        sampler=self.sampler)
+                                        sampler=sampler)
         if self.cost_mode == "group_correlation":
             return group_correlation_cost_volume(
                 ref_feat, src_feats, rel_projs, hyp, self.num_groups,

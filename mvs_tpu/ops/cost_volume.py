@@ -54,6 +54,14 @@ def variance_cost_volume(
 
         return fused_variance_volume_hat(ref_feat, src_feats, rel_projs,
                                          depth_values)
+    if sampler == "hat_banded":
+        # Tiled fused path: each output tile contracts only its (band_h,
+        # band_w) source window instead of the full image — the production
+        # TPU path at eval resolution (see ops.hat_warp).
+        from mvs_tpu.ops.hat_warp import fused_variance_volume_banded
+
+        return fused_variance_volume_banded(ref_feat, src_feats, rel_projs,
+                                            depth_values)
 
     num_views = src_feats.shape[0] + 1
     d = depth_values.shape[0]

@@ -7,7 +7,9 @@ from mvs_tpu.geometry import (
     warp_src_feature,
 )
 from mvs_tpu.ops.cost_volume import variance_cost_volume
-from mvs_tpu.ops.hat_warp import two_pass_warp, warp_src_feature_hat
+from mvs_tpu.ops.hat_warp import (
+    fused_variance_volume_banded, two_pass_warp, warp_src_feature_hat,
+)
 from mvs_tpu.utils.synthetic import make_plane_scene
 
 
@@ -86,3 +88,61 @@ def test_variance_volume_sampler_consistency():
     cg = np.asarray(vol_g.mean(-1))[:, 12:-12, 12:-12].mean((1, 2))
     ch = np.asarray(vol_h.mean(-1))[:, 12:-12, 12:-12].mean((1, 2))
     assert cg.argmin() == ch.argmin()
+
+
+def test_banded_variance_matches_gather():
+    """Banded tiled warp agrees with the exact gather sampler on a real
+    scene (bands sized to cover each tile's source window)."""
+    scene = make_plane_scene(num_views=3, height=48, width=64, z0=10.0)
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[v], proj[0]) for v in (1, 2)])
+    depths = uniform_depth_values(8.0, 0.5, 8)
+    feats = jnp.asarray(scene.images)
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, depths,
+                                 sampler="gather")
+    vol_b = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, depths,
+        tile_rows=16, tile_cols=32, band_h=48, band_w=64)
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
+    cg = np.asarray(vol_g.mean(-1))[:, 12:-12, 12:-12].mean((1, 2))
+    cb = np.asarray(vol_b.mean(-1))[:, 12:-12, 12:-12].mean((1, 2))
+    assert cg.argmin() == cb.argmin()
+
+
+def test_banded_variance_per_pixel_depths():
+    """Per-pixel hypothesis tiles (cascade stage-2/3 shape) with grouped
+    planes sharing a source window."""
+    scene = make_plane_scene(num_views=2, height=48, width=64, z0=10.0)
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[1], proj[0])])
+    feats = jnp.asarray(scene.images)
+    base = jnp.asarray(scene.depths[0])
+    hyp = jnp.stack([base - 0.3, base - 0.1, base + 0.1, base + 0.3])
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, hyp,
+                                 sampler="gather")
+    vol_b = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, hyp,
+        tile_rows=16, tile_cols=32, band_h=48, band_w=64, depth_group=4)
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
+
+
+def test_banded_variance_uneven_tiles():
+    """H/W not divisible by the tile shape: padded rows/cols must not
+    pollute the valid region."""
+    scene = make_plane_scene(num_views=2, height=40, width=56, z0=10.0)
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[1], proj[0])])
+    depths = uniform_depth_values(8.5, 0.5, 5)
+    feats = jnp.asarray(scene.images)
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, depths,
+                                 sampler="gather")
+    vol_b = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, depths,
+        tile_rows=16, tile_cols=32, band_h=40, band_w=56)
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
