@@ -15,11 +15,15 @@ MODEL_NAMES = ("mvsnet", "cas_mvsnet", "cvp_mvsnet", "aacvp_mvsnet", "point_mvsn
 
 def build_model_and_task(cfg, volume_constraint=None):
     """cfg: utils.config.Config. Returns (model, task, collate_fn_name)."""
+    import jax.numpy as jnp
+
     m = cfg.model
+    dtype = jnp.dtype(m.compute_dtype)
     if m.name == "mvsnet":
         model = MVSNet(
             base_channels=m.base_channels, refine=m.refine,
-            normalization=m.normalization, volume_constraint=volume_constraint,
+            normalization=m.normalization, sampler=m.sampler,
+            compute_dtype=dtype, volume_constraint=volume_constraint,
         )
         return model, MVSNetTask(model), "collate_mvsnet"
     if m.name == "cas_mvsnet":
@@ -27,7 +31,8 @@ def build_model_and_task(cfg, volume_constraint=None):
             base_channels=m.base_channels, ndepths=tuple(m.ndepths),
             depth_interval_ratios=tuple(m.depth_interval_ratios),
             arch_mode=m.arch_mode, share_cr=m.share_cr,
-            normalization=m.normalization, volume_constraint=volume_constraint,
+            normalization=m.normalization, sampler=m.sampler,
+            compute_dtype=dtype, volume_constraint=volume_constraint,
         )
         return model, CascadeTask(model), "collate_cascade"
     if m.name in ("cvp_mvsnet", "aacvp_mvsnet"):
@@ -38,6 +43,7 @@ def build_model_and_task(cfg, volume_constraint=None):
             cost_mode="group_correlation" if aacvp else m.cost_mode,
             num_groups=m.num_groups, attention=aacvp or m.attention,
             num_heads=m.num_heads, normalization=m.normalization,
+            sampler=m.sampler, compute_dtype=dtype,
         )
         return model, PyramidTask(model), "collate_pyramid"
     if m.name == "point_mvsnet":

@@ -23,6 +23,13 @@ class ModelConfig:
     name: str = "cas_mvsnet"  # mvsnet | cas_mvsnet | cvp_mvsnet | aacvp_mvsnet | point_mvsnet
     base_channels: int = 8
     normalization: str = "batch"
+    # 'gather' (exact grid-sample semantics, the CPU/debug path) or 'hat'
+    # (the TPU fast path: dense two-pass hat-matmul for global sweeps,
+    # banded tiles for per-pixel refine stages — see mvs_tpu.ops.hat_warp).
+    sampler: str = "gather"
+    # Activation dtype for the conv/warp compute path ('float32'|'bfloat16');
+    # params and the regression head stay f32.
+    compute_dtype: str = "float32"
     # MVSNet
     refine: bool = False
     # cascade
@@ -74,7 +81,6 @@ class TrainConfig:
     log_dir: str = "runs/default"
     ckpt_every_epochs: int = 1
     summary_every_steps: int = 20
-    bf16: bool = False
     # mesh
     mesh_data: int = 0  # 0 = all devices on data axis
     mesh_depth: int = 1
