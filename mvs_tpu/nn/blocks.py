@@ -16,9 +16,10 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-__all__ = ["ConvBlock", "ConvTransposeBlock", "Norm"]
+__all__ = ["ConvBlock", "ConvTransposeBlock", "FusedConvBlock3D", "Norm"]
 
 
 class Norm(nn.Module):
@@ -71,6 +72,91 @@ class ConvBlock(nn.Module):
         if self.relu:
             x = nn.relu(x)
         return x
+
+
+class FusedConvBlock3D(nn.Module):
+    """3x3x3 stride-1 Conv + BatchNorm + ReLU with a fused Pallas fast path.
+
+    Owns its parameters directly (kernel / scale / bias / batch stats) so the
+    inference path can fold the norm into a per-channel affine and run the
+    lane-folded Pallas conv kernel (ops.conv3d_pallas) — one HBM round-trip
+    for conv+norm+relu instead of XLA's im2col-style traffic at tiny channel
+    counts. Training uses lax.conv + batch statistics (pmean over `axis_name`
+    when set, i.e. sync-BN under shard_map) so gradients flow through
+    standard XLA ops.
+
+    Drop-in for ConvBlock(kernel_size=(3,3,3), strides=1) in the cost
+    regularizers; normalization 'batch' or 'none'.
+    """
+
+    features: int
+    normalization: str = "batch"
+    axis_name: str | None = None
+    relu: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from mvs_tpu.ops.conv3d_pallas import conv3d_folded, fold_factor
+
+        c_in = x.shape[-1]
+        c_out = self.features
+        # lecun_normal computes fan_in = C_in * receptive field for conv
+        # kernel shapes, matching nn.Conv's default init.
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, c_in, c_out), jnp.float32,
+        )
+        use_bn = self.normalization == "batch"
+        if self.normalization not in ("batch", "none"):
+            raise ValueError(
+                f"FusedConvBlock3D supports batch|none, got {self.normalization!r}")
+        if use_bn:
+            gamma = self.param("scale", nn.initializers.ones, (c_out,), jnp.float32)
+            beta = self.param("bias", nn.initializers.zeros, (c_out,), jnp.float32)
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((c_out,), jnp.float32))
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((c_out,), jnp.float32))
+
+        f = fold_factor(c_in, c_out)
+        foldable = f >= 2 and x.shape[3] % f == 0
+        if train or not foldable:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=dn, preferred_element_type=jnp.float32)
+            if use_bn:
+                if train:
+                    mean = jnp.mean(y, axis=(0, 1, 2, 3))
+                    var = jnp.mean(jnp.square(y), axis=(0, 1, 2, 3)) - mean * mean
+                    if self.axis_name is not None:
+                        mean = jax.lax.pmean(mean, self.axis_name)
+                        var = jax.lax.pmean(var, self.axis_name)
+                    if not self.is_initializing():
+                        m = self.momentum
+                        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                        ra_var.value = m * ra_var.value + (1 - m) * var
+                else:
+                    mean, var = ra_mean.value, ra_var.value
+                y = (y - mean) * gamma * jax.lax.rsqrt(var + self.epsilon) + beta
+            if self.relu:
+                y = jnp.maximum(y, 0.0)
+            return y.astype(x.dtype)
+
+        # Inference fast path: fold norm into scale/shift, fuse into the kernel.
+        if use_bn:
+            scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            shift = beta - ra_mean.value * scale
+        else:
+            scale = jnp.ones((c_out,), jnp.float32)
+            shift = jnp.zeros((c_out,), jnp.float32)
+        conv = lambda xi: conv3d_folded(xi, kernel, scale, shift, relu=self.relu)
+        if x.shape[0] == 1:
+            return conv(x[0])[None]
+        return jax.vmap(conv)(x)
 
 
 class ConvTransposeBlock(nn.Module):

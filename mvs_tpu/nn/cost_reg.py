@@ -16,11 +16,21 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock
+from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock, FusedConvBlock3D
 
 __all__ = ["UNetCostRegNet", "PyramidCostRegNet"]
 
 _K3 = (3, 3, 3)
+
+
+def _conv3(features, normalization, axis_name, **kw):
+    """Stride-1 3x3x3 block: the Pallas-fused variant for batch/none norm
+    (the hot path — one HBM round-trip for conv+norm+relu at inference),
+    plain ConvBlock otherwise (e.g. group norm)."""
+    if normalization in ("batch", "none"):
+        return FusedConvBlock3D(features, normalization, axis_name, **kw)
+    return ConvBlock(features, _K3, normalization=normalization,
+                     axis_name=axis_name, **kw)
 
 
 class UNetCostRegNet(nn.Module):
@@ -34,16 +44,16 @@ class UNetCostRegNet(nn.Module):
     def __call__(self, x, train: bool = False):
         b = self.base_channels
         kw = dict(normalization=self.normalization, axis_name=self.axis_name)
-        conv0 = ConvBlock(b, _K3, **kw)(x, train)
+        conv0 = _conv3(b, self.normalization, self.axis_name)(x, train)
 
         conv1 = ConvBlock(b * 2, _K3, strides=2, **kw)(conv0, train)
-        conv2 = ConvBlock(b * 2, _K3, **kw)(conv1, train)
+        conv2 = _conv3(b * 2, self.normalization, self.axis_name)(conv1, train)
 
         conv3 = ConvBlock(b * 4, _K3, strides=2, **kw)(conv2, train)
-        conv4 = ConvBlock(b * 4, _K3, **kw)(conv3, train)
+        conv4 = _conv3(b * 4, self.normalization, self.axis_name)(conv3, train)
 
         conv5 = ConvBlock(b * 8, _K3, strides=2, **kw)(conv4, train)
-        conv6 = ConvBlock(b * 8, _K3, **kw)(conv5, train)
+        conv6 = _conv3(b * 8, self.normalization, self.axis_name)(conv5, train)
 
         x = conv4 + ConvTransposeBlock(b * 4, _K3, strides=2, **kw)(conv6, train)
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(x, train)
@@ -64,16 +74,17 @@ class PyramidCostRegNet(nn.Module):
     def __call__(self, x, train: bool = False):
         b = self.base_channels
         kw = dict(normalization=self.normalization, axis_name=self.axis_name)
-        conv0 = ConvBlock(b, _K3, **kw)(x, train)
-        conv0 = ConvBlock(b, _K3, **kw)(conv0, train)
+        c3 = lambda ch: _conv3(ch, self.normalization, self.axis_name)
+        conv0 = c3(b)(x, train)
+        conv0 = c3(b)(conv0, train)
 
         conv2 = ConvBlock(b * 2, _K3, strides=2, **kw)(conv0, train)
-        conv2 = ConvBlock(b * 2, _K3, **kw)(conv2, train)
-        conv2 = ConvBlock(b * 2, _K3, **kw)(conv2, train)
+        conv2 = c3(b * 2)(conv2, train)
+        conv2 = c3(b * 2)(conv2, train)
 
-        conv4 = ConvBlock(b * 4, _K3, **kw)(conv2, train)
-        conv4 = ConvBlock(b * 4, _K3, **kw)(conv4, train)
-        conv4 = ConvBlock(b * 4, _K3, **kw)(conv4, train)
+        conv4 = c3(b * 4)(conv2, train)
+        conv4 = c3(b * 4)(conv4, train)
+        conv4 = c3(b * 4)(conv4, train)
 
         # Channel-halving "transpose" at stride 1, then a true 2x upsample.
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=1, **kw)(conv4, train)
