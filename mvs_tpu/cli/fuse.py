@@ -30,13 +30,22 @@ def fuse_scan_dir(scan_dir: Path, pair_path: Path, fusion_cfg: FusionConfig,
     )
     id_map = {vid: i for i, vid in enumerate(view_ids)}
 
+    def _load_image(vid):
+        for ext in (".jpg", ".png"):
+            p = scan_dir / "images" / f"{vid:08d}{ext}"
+            if p.exists():
+                from PIL import Image
+
+                return np.asarray(Image.open(p), np.float32) / 255.0
+        p = scan_dir / "images" / f"{vid:08d}.npy"  # legacy layout
+        return np.load(p) if p.exists() else None
+
     depths, confs, images, intr, extr = [], [], [], [], []
     for vid in view_ids:
         depths.append(read_pfm(scan_dir / "depth_est" / f"{vid:08d}.pfm")[0])
         confs.append(read_pfm(scan_dir / "confidence" / f"{vid:08d}.pfm")[0])
         cam = read_cam_file(scan_dir / "cams" / f"{vid:08d}_cam.txt")
-        img_path = scan_dir / "images" / f"{vid:08d}.npy"
-        images.append(np.load(img_path) if img_path.exists() else None)
+        images.append(_load_image(vid))
         intr.append(cam.intrinsics)
         extr.append(cam.extrinsics)
 
@@ -55,8 +64,8 @@ def fuse_scan_dir(scan_dir: Path, pair_path: Path, fusion_cfg: FusionConfig,
             cv2.resize(im, (w, h)) if im.shape[:2] != (h, w) else im
             for im in images
         ])
-    # Depth maps may be at a lower resolution than the stored full-res
-    # intrinsics (e.g. MVSNet outputs at 1/4): rescale K to depth res.
+    # cli.infer writes cams already rescaled to the depth-map resolution, so
+    # the (depth, K) pair is consistent here by contract.
     intr = np.stack(intr)
     extr = np.stack(extr)
 

@@ -104,15 +104,29 @@ def main(argv=None):
         ref = sample["ref_view"]
         write_pfm(scan_dir / "depth_est" / f"{ref:08d}.pfm", depth)
         write_pfm(scan_dir / "confidence" / f"{ref:08d}.pfm", conf)
+        # Write the intrinsics at DEPTH-MAP resolution (MVSNet outputs 1/4
+        # res), so the cams/*.txt + depth_est/*.pfm pair is self-consistent
+        # for fusion — the reference does the same ÷4 in its eval dataset
+        # (MVSNet/eval.py:49-59).
+        img_h, img_w = sample["imgs"][0].shape[:2]
+        k = np.array(sample["intrinsics"][0], np.float64).copy()
+        k[0] *= depth.shape[1] / img_w
+        k[1] *= depth.shape[0] / img_h
         cam = CameraParams(
-            intrinsics=sample["intrinsics"][0], extrinsics=sample["extrinsics"][0],
+            intrinsics=k.astype(np.float32), extrinsics=sample["extrinsics"][0],
             depth_min=float(sample["depth_min"]),
             depth_interval=float(sample["depth_interval"]),
             num_depth=cfg.data.num_depth, depth_max=float(sample["depth_max"]),
         )
         write_cam_file(scan_dir / "cams" / f"{ref:08d}_cam.txt", cam)
         (scan_dir / "images").mkdir(parents=True, exist_ok=True)
-        np.save(scan_dir / "images" / f"{ref:08d}.npy", sample["imgs"][0])
+        # jpg, like the reference save_depth stage (CasMVSNet/test.py:189-232)
+        # — the format the gipuma bridge and external viewers consume.
+        from PIL import Image
+
+        img8 = (np.clip(np.asarray(sample["imgs"][0]), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img8).save(scan_dir / "images" / f"{ref:08d}.jpg",
+                                   quality=98)
         print(f"[{i + 1}/{len(ds)}] {sample['scan']} view {ref}: "
               f"depth {depth.shape} conf mean {conf.mean():.3f}")
 

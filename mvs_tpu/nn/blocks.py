@@ -132,6 +132,9 @@ class FusedConvBlock3D(nn.Module):
                 if train:
                     mean = jnp.mean(y, axis=(0, 1, 2, 3))
                     var = jnp.mean(jnp.square(y), axis=(0, 1, 2, 3)) - mean * mean
+                    # E[x^2]-E[x]^2 can cancel to a tiny negative for
+                    # large-mean/low-variance channels; rsqrt(neg) is NaN.
+                    var = jnp.maximum(var, 0.0)
                     if self.axis_name is not None:
                         mean = jax.lax.pmean(mean, self.axis_name)
                         var = jax.lax.pmean(var, self.axis_name)
@@ -153,10 +156,10 @@ class FusedConvBlock3D(nn.Module):
         else:
             scale = jnp.ones((c_out,), jnp.float32)
             shift = jnp.zeros((c_out,), jnp.float32)
-        conv = lambda xi: conv3d_folded(xi, kernel, scale, shift, relu=self.relu)
-        if x.shape[0] == 1:
-            return conv(x[0])[None]
-        return jax.vmap(conv)(x)
+        # Batched natively: batch rides the Pallas grid. vmap over the
+        # pallas_call is NOT legal here (its pl.ANY input must keep a
+        # trivial index_map — Mosaic rejects the batched BlockSpec).
+        return conv3d_folded(x, kernel, scale, shift, relu=self.relu)
 
 
 class ConvTransposeBlock(nn.Module):

@@ -32,6 +32,7 @@ Numerics: taps accumulate in f32 (`preferred_element_type`); parity with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,27 +61,32 @@ def fold_factor(c_in: int, c_out: int) -> int:
 
 
 def fold_volume(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    """(D, H, W, C) -> (D, H, W/f, f*C); contiguous, so layout-free."""
-    d, h, w, c = x.shape
-    return x.reshape(d, h, w // f, f * c)
+    """(..., D, H, W, C) -> (..., D, H, W/f, f*C); contiguous, so layout-free."""
+    *lead, d, h, w, c = x.shape
+    return x.reshape(*lead, d, h, w // f, f * c)
 
 
 def unfold_volume(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    d, h, wf, fc = x.shape
-    return x.reshape(d, h, wf * f, fc // f)
+    *lead, d, h, wf, fc = x.shape
+    return x.reshape(*lead, d, h, wf * f, fc // f)
 
 
-def fold_conv3d_weights(w: np.ndarray | jnp.ndarray, f: int) -> jnp.ndarray:
-    """(3, 3, 3, C_in, C_out) -> (27, f*C_in, f*C_out) block-banded tap mats.
+@functools.lru_cache(maxsize=None)
+def _fold_gather_plan(f: int, c_in: int, c_out: int):
+    """Static (index, mask) arrays mapping w.ravel() -> tap matrices.
 
     Tap order: (dz, dy, dwf) row-major with dz, dy, dwf in {0, 1, 2}
     (offset-1). Output sub-position i in a folded cell reads original column
     w = wf*f + i; its dx-neighbor lives at sub-position i+dx of folded cell
-    wf + floor((i+dx)/f).
+    wf + floor((i+dx)/f). Each tap-matrix element comes from at most one
+    w[dz, dy, dx, a, b], so the fold is a single gather — NOT a chain of
+    27*f scatter-adds, which would run per forward pass (params aren't
+    constant-folded under jit) and dominated the round-1 e2e regression.
     """
-    w = jnp.asarray(w)
-    _, _, _, c_in, c_out = w.shape
-    taps = jnp.zeros((27, f * c_in, f * c_out), w.dtype)
+    idx = np.zeros((27, f * c_in, f * c_out), np.int32)
+    mask = np.zeros((27, f * c_in, f * c_out), np.float32)
+    strides = np.array([9 * c_in * c_out, 3 * c_in * c_out, c_in * c_out,
+                        c_out, 1])
     for dz in range(3):
         for dy in range(3):
             for dx in range(3):
@@ -89,20 +95,39 @@ def fold_conv3d_weights(w: np.ndarray | jnp.ndarray, f: int) -> jnp.ndarray:
                     dwf = src // f  # -1, 0, or 1
                     j = src - dwf * f  # input sub-position
                     t = dz * 9 + dy * 3 + (dwf + 1)
-                    taps = taps.at[
-                        t,
-                        j * c_in:(j + 1) * c_in,
-                        i * c_out:(i + 1) * c_out,
-                    ].add(w[dz, dy, dx])
-    return taps
+                    a = np.arange(c_in)[:, None]
+                    b = np.arange(c_out)[None, :]
+                    flat = (dz * strides[0] + dy * strides[1] + dx * strides[2]
+                            + a * strides[3] + b * strides[4])
+                    idx[t, j * c_in:(j + 1) * c_in,
+                        i * c_out:(i + 1) * c_out] = flat
+                    mask[t, j * c_in:(j + 1) * c_in,
+                         i * c_out:(i + 1) * c_out] = 1.0
+    return idx, mask
+
+
+def fold_conv3d_weights(w: np.ndarray | jnp.ndarray, f: int) -> jnp.ndarray:
+    """(3, 3, 3, C_in, C_out) -> (27, f*C_in, f*C_out) block-banded tap mats.
+
+    One gather + one multiply, cheap enough to run inside the jitted forward
+    (see _fold_gather_plan for the layout derivation).
+    """
+    w = jnp.asarray(w)
+    _, _, _, c_in, c_out = w.shape
+    idx, mask = _fold_gather_plan(f, c_in, c_out)
+    return w.reshape(-1)[idx] * jnp.asarray(mask, w.dtype)
 
 
 def _conv_kernel(xp_ref, w_ref, sc_ref, sh_ref, out_ref, xs_ref, acc_ref,
                  sem, *, bd, bh, wf, l_in, relu, out_dtype):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    # Grid is (batch, depth tiles, height tiles). Batch rides the grid so the
+    # pl.ANY input keeps a trivial index_map (Mosaic requires it); the halo
+    # block for volume k is sliced out by this manual DMA instead.
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     cp = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(i * bd, bd + 2), pl.ds(j * bh, bh + 2)],
+        xp_ref.at[k, pl.ds(i * bd, bd + 2), pl.ds(j * bh, bh + 2)],
         xs_ref,
         sem,
     )
@@ -134,6 +159,39 @@ def _pick_block(n: int, target: int) -> int:
     return b
 
 
+# Scoped-VMEM budget for one grid step (v5e exposes ~16 MiB of scoped VMEM to
+# a Mosaic kernel; leave headroom for Mosaic's own spills/alignment).
+_VMEM_BUDGET = 11 * 2**20
+
+
+def _kernel_vmem_bytes(bd, bh, wf, wfp, l_in, l_out, itemsize):
+    # VMEM tiles are (8 sublanes, 128 lanes) for f32: the minor dim rounds up
+    # to 128 and the second-minor to 8 when sizing actual VMEM footprint.
+    r8 = lambda n: -(-n // 8) * 8
+    r128 = lambda n: -(-n // 128) * 128
+    xs = (bd + 2) * (bh + 2) * r8(wfp) * r128(l_in) * itemsize  # halo scratch
+    acc = r8(bd * bh * wf) * r128(l_out) * 4                    # f32 accumulator
+    out = bd * bh * r8(wf) * r128(l_out) * itemsize * 2         # double-buffered out
+    taps = 27 * r8(l_in) * r128(l_out) * itemsize
+    return xs + acc + out + taps
+
+
+def _fit_blocks(d, h, wf, wfp, l_in, l_out, itemsize, bd, bh):
+    """Shrink (bd, bh) (divisors of d, h) until the per-step VMEM footprint
+    fits the scoped budget. Prefer shrinking bh first (halo overhead grows
+    as 2/b, and H is usually the larger axis with more divisor choices)."""
+    bd = _pick_block(d, bd)
+    bh = _pick_block(h, bh)
+    while _kernel_vmem_bytes(bd, bh, wf, wfp, l_in, l_out, itemsize) > _VMEM_BUDGET:
+        if bh > 1 and (bh >= bd or bd == 1):
+            bh = _pick_block(h, bh - 1)
+        elif bd > 1:
+            bd = _pick_block(d, bd - 1)
+        else:
+            break  # minimum reached; let Mosaic report if still too big
+    return bd, bh
+
+
 @functools.partial(
     jax.jit, static_argnames=("relu", "interpret", "block_d", "block_h")
 )
@@ -141,28 +199,31 @@ def conv3d_lane_folded(xf, w_taps, scale, shift, *, relu=False,
                        interpret=False, block_d=8, block_h=16):
     """Folded-layout 3x3x3 SAME conv with fused affine(+ReLU) epilogue.
 
-    xf      (D, H, Wf, L_in)  folded volume (L_in = f*C_in <= 128)
+    xf      (B, D, H, Wf, L_in)  batch of folded volumes (L_in = f*C_in <= 128)
     w_taps  (27, L_in, L_out) from fold_conv3d_weights
     scale   (L_out,) per-lane scale (per-channel scale tiled over the fold)
     shift   (L_out,) per-lane shift
-    -> (D, H, Wf, L_out)
-    """
-    d, h, wf, l_in = xf.shape
-    l_out = w_taps.shape[-1]
-    bd = _pick_block(d, block_d)
-    bh = _pick_block(h, block_h)
+    -> (B, D, H, Wf, L_out)
 
+    Batch is a grid axis, NOT a vmapped pallas_call: Mosaic only lowers
+    memory-space-ANY operands with a trivial index_map, and vmap would batch
+    that BlockSpec (the round-1 TPU crash at batch>=2).
+    """
+    b, d, h, wf, l_in = xf.shape
+    l_out = w_taps.shape[-1]
     # DMA slices must be sublane-tile aligned: pad the W dim so the halo'd
     # row width is a multiple of 8 and each block copies full rows.
     wfp = wf + 2 + (-(wf + 2)) % 8
-    xp = jnp.pad(xf, ((1, 1), (1, 1), (1, wfp - wf - 1), (0, 0)))
-    grid = (d // bd, h // bh)
+    bd, bh = _fit_blocks(d, h, wf, wfp, l_in, l_out, xf.dtype.itemsize,
+                         block_d, block_h)
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (1, wfp - wf - 1), (0, 0)))
+    grid = (b, d // bd, h // bh)
 
     kernel = functools.partial(
         _conv_kernel, bd=bd, bh=bh, wf=wf, l_in=l_in, relu=relu,
         out_dtype=xf.dtype,
     )
-    flops = 27 * d * h * wf * l_in * l_out * 2
+    flops = 27 * b * d * h * wf * l_in * l_out * 2
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -173,10 +234,10 @@ def conv3d_lane_folded(xf, w_taps, scale, shift, *, relu=False,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shift
         ],
         out_specs=pl.BlockSpec(
-            (bd, bh, wf, l_out), lambda i, j: (i, j, 0, 0),
+            (1, bd, bh, wf, l_out), lambda k, i, j: (k, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, h, wf, l_out), xf.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, wf, l_out), xf.dtype),
         scratch_shapes=[
             pltpu.VMEM((bd + 2, bh + 2, wfp, l_in), xf.dtype),
             pltpu.VMEM((bd * bh * wf, l_out), jnp.float32),
@@ -193,32 +254,40 @@ def conv3d_lane_folded(xf, w_taps, scale, shift, *, relu=False,
 
 def conv3d_folded(x, w, scale=None, shift=None, *, relu=False,
                   interpret=None):
-    """Drop-in 3x3x3 SAME NDHWC conv for small channel counts.
+    """Drop-in 3x3x3 SAME conv for small channel counts, NDHWC or DHWC.
 
-    x (D, H, W, C_in); w (3, 3, 3, C_in, C_out); scale/shift (C_out,) fused
-    affine epilogue (inference-mode norm); returns (D, H, W, C_out).
+    x (B, D, H, W, C_in) or (D, H, W, C_in); w (3, 3, 3, C_in, C_out);
+    scale/shift (C_out,) fused affine epilogue (inference-mode norm);
+    returns y with x's rank and C_out channels.
 
     Falls back to lax.conv_general_dilated when the shape doesn't fold
     (W % F != 0 or C > 128). `interpret=None` auto-selects interpreter mode
     off-TPU so CPU tests exercise the same code path.
     """
-    d, h, wd, c_in = x.shape
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    _, d, h, wd, c_in = x.shape
     c_out = w.shape[-1]
     f = fold_factor(c_in, c_out)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    if f < 2 or wd % f:
+    # Kill switch (MVS_TPU_PALLAS_CONV3D=0): route everything through the XLA
+    # conv. Same numerics and param tree either way — used for A/B perf runs
+    # and as a safety valve if a Mosaic lowering regresses.
+    enabled = os.environ.get("MVS_TPU_PALLAS_CONV3D", "1") != "0"
+    if not enabled or f < 2 or wd % f:
         dn = jax.lax.conv_dimension_numbers(
-            (1,) + x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
         y = jax.lax.conv_general_dilated(
-            x[None], w.astype(x.dtype), (1, 1, 1), "SAME",
-            dimension_numbers=dn)[0]
+            x, w.astype(x.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=dn)
         if scale is not None:
             y = y * scale + shift
         if relu:
             y = jnp.maximum(y, 0.0)
-        return y
+        return y[0] if squeeze else y
 
     if scale is None:
         scale = jnp.ones((c_out,), jnp.float32)
@@ -229,4 +298,5 @@ def conv3d_folded(x, w, scale=None, shift=None, *, relu=False,
         xf, taps, jnp.tile(scale, f), jnp.tile(shift, f),
         relu=relu, interpret=interpret,
     )
-    return unfold_volume(yf, f)
+    y = unfold_volume(yf, f)
+    return y[0] if squeeze else y

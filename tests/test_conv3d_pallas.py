@@ -50,6 +50,61 @@ def test_folded_conv_affine_relu():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_folded_conv_batched():
+    """batch>=2 rides the Pallas grid (regression: round-1 vmap-over-ANY
+    BlockSpec crashed Mosaic lowering at the bench's batch=2)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 4, 8, 16, 16)).astype(np.float32))
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 16, 8)).astype(np.float32)) * 0.1
+    got = conv3d_folded(x, k, interpret=True)
+    want = jnp.stack([_ref_conv(x[i], k) for i in range(x.shape[0])])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _iter_pallas_eqns(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            yield eqn
+        for v in eqn.params.values():
+            for sub in (v if isinstance(v, (list, tuple)) else [v]):
+                if hasattr(sub, "eqns"):
+                    yield from _iter_pallas_eqns(sub)
+                elif hasattr(sub, "jaxpr") and hasattr(sub.jaxpr, "eqns"):
+                    yield from _iter_pallas_eqns(sub.jaxpr)
+
+
+def test_folded_conv_batched_passes_mosaic_block_checks():
+    """TPU-lowering smoke without TPU hardware: run Mosaic's static
+    BlockSpec/index-map validation on the traced batched pallas_call. This is
+    exactly the check that rejected the round-1 vmap-over-ANY formulation."""
+    try:
+        from jax._src.pallas.mosaic.lowering import _check_block_mappings
+    except ImportError:
+        pytest.skip("jax internals moved; Mosaic check unavailable")
+    from mvs_tpu.ops.conv3d_pallas import (
+        conv3d_lane_folded, fold_conv3d_weights, fold_volume)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 16)).astype(np.float32))
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 16, 8)).astype(np.float32)) * 0.1
+    f = fold_factor(16, 8)
+    xf = fold_volume(x, f)
+    taps = fold_conv3d_weights(k, f)
+    scale = jnp.ones((taps.shape[-1],), jnp.float32)
+    shift = jnp.zeros((taps.shape[-1],), jnp.float32)
+    fn = lambda a: conv3d_lane_folded(a, taps, scale, shift, relu=True,
+                                      interpret=False)
+    closed = jax.make_jaxpr(fn)(xf)
+    eqns = list(_iter_pallas_eqns(closed.jaxpr))
+    assert eqns, "no pallas_call traced"
+    for eqn in eqns:
+        gm = eqn.params["grid_mapping"]
+        # lowering_context is unused by the check (del'd in its first line).
+        _check_block_mappings(gm.block_mappings, None, closed.jaxpr.debug_info)
+
+
 def test_fallback_when_unfoldable():
     rng = np.random.default_rng(2)
     # W=10 not divisible by F=8 -> XLA fallback, still correct.

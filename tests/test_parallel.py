@@ -76,7 +76,17 @@ def _mvsnet_batch(batch_size):
 
 def test_data_parallel_train_step_matches_single_device():
     """The same batch through a 1-device and an 8-device mesh gives the same
-    loss and gradients (GSPMD DP == serial compute)."""
+    loss and the same parameter update (GSPMD DP == serial compute).
+
+    Tolerance note: GSPMD changes the reduction order of (a) train-mode
+    BatchNorm batch statistics (per-shard partial moments combined by psum)
+    and (b) the gradient all-reduce, so elementwise grad parity only holds to
+    f32 reassociation noise amplified through rsqrt(var). The DDP contract
+    (reference CasMVSNet/train.py:365-372) is that the *update vector* is the
+    same: we bound the relative L2 error of each leaf's update at 1e-3 (the
+    observed reassociation noise is ~1e-5..1e-4 relative; a real DP bug —
+    wrong averaging, missing psum — shows up as O(1) relative error).
+    """
     batch = _mvsnet_batch(8)
     model = MVSNet()
     variables = model.init(
@@ -96,17 +106,24 @@ def test_data_parallel_train_step_matches_single_device():
             sb = shard_batch(mesh, batch)
             step = make_train_step(task, donate=False)
             new_state, metrics = step(state, sb)
-            return float(metrics["loss"]), jax.tree.map(
-                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            updates = jax.tree.map(
+                lambda a, b: np.asarray(a - b),
                 new_state.params, variables["params"],
             )
+            return float(metrics["loss"]), updates
 
-    loss_dp, delta_dp = run(data_parallel_mesh())
-    loss_1, delta_1 = run(make_mesh(data=1, devices=jax.devices()[:1]))
+    loss_dp, upd_dp = run(data_parallel_mesh())
+    loss_1, upd_1 = run(make_mesh(data=1, devices=jax.devices()[:1]))
     assert loss_dp == pytest.approx(loss_1, rel=1e-4)
-    d_dp = np.array(jax.tree.leaves(delta_dp))
-    d_1 = np.array(jax.tree.leaves(delta_1))
-    np.testing.assert_allclose(d_dp, d_1, rtol=1e-3, atol=1e-6)
+    for path, u_dp in jax.tree_util.tree_flatten_with_path(upd_dp)[0]:
+        u_1 = upd_1
+        for k in path:
+            u_1 = u_1[k.key]
+        num = np.linalg.norm(u_dp - u_1)
+        den = np.linalg.norm(u_1)
+        assert num <= 1e-3 * den + 1e-9, (
+            f"{jax.tree_util.keystr(path)}: rel L2 update error "
+            f"{num / max(den, 1e-30):.2e}")
 
 
 def test_volume_sharded_forward_matches_dense():
