@@ -71,8 +71,13 @@ def _build_mesh(cfg):
     data = cfg.train.mesh_data or max(
         1, n // (cfg.train.mesh_depth * cfg.train.mesh_space)
     )
+    # An explicit mesh smaller than the host's device count runs on the
+    # first data*depth*space devices (e.g. debugging a 2-device layout on
+    # an 8-device host).
+    used = data * cfg.train.mesh_depth * cfg.train.mesh_space
     return make_mesh(data=data, depth=cfg.train.mesh_depth,
-                     space=cfg.train.mesh_space)
+                     space=cfg.train.mesh_space,
+                     devices=jax.devices()[:used])
 
 
 def main(argv=None):

@@ -45,6 +45,10 @@ class CasMVSNet(nn.Module):
     # 'gather' (exact) | 'hat' (TPU fast path: dense two-pass for the global
     # stage-1 sweep, banded tiles for the narrow per-pixel refine stages).
     sampler: str = "gather"
+    # Banded-warp coverage budget overrides (tile_rows/tile_cols/band_h/
+    # band_w/depth_group) for wide-baseline data; None = ops.hat_warp
+    # defaults (64-px disparity budget). Plumbed from ModelConfig.
+    band_cfg: Any = None
     # Optional sharding-constraint hook for each stage's (B, D, H, W, C)
     # cost volume (see parallel.ShardingPlan).
     volume_constraint: Any = None
@@ -111,7 +115,7 @@ class CasMVSNet(nn.Module):
                 sampler = "hat_banded"
             volume = jax.vmap(
                 lambda rf, sf, rp, hh: variance_cost_volume(
-                    rf, sf, rp, hh, sampler=sampler)
+                    rf, sf, rp, hh, sampler=sampler, band_cfg=self.band_cfg)
             )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             if self.volume_constraint is not None:
                 volume = self.volume_constraint(volume)

@@ -50,6 +50,8 @@ class CVPMVSNet(nn.Module):
     num_heads: int = 1
     use_epipolar_interval: bool = False  # test-time per-scene interval
     sampler: str = "gather"  # 'gather' (exact) | 'hat' (TPU fast path)
+    # Banded-warp coverage budget overrides (see ops.hat_warp); None = defaults.
+    band_cfg: dict | None = None
     reg_base_channels: int = 16
     normalization: str = "batch"
     axis_name: str | None = None
@@ -63,7 +65,7 @@ class CVPMVSNet(nn.Module):
                 # contract only each tile's source window (see ops.hat_warp).
                 sampler = "hat_banded"
             return variance_cost_volume(ref_feat, src_feats, rel_projs, hyp,
-                                        sampler=sampler)
+                                        sampler=sampler, band_cfg=self.band_cfg)
         if self.cost_mode == "group_correlation":
             return group_correlation_cost_volume(
                 ref_feat, src_feats, rel_projs, hyp, self.num_groups,

@@ -13,6 +13,18 @@ __all__ = ["build_model_and_task", "MODEL_NAMES"]
 MODEL_NAMES = ("mvsnet", "cas_mvsnet", "cvp_mvsnet", "aacvp_mvsnet", "point_mvsnet")
 
 
+def _band_cfg(m):
+    """Non-zero ModelConfig band overrides -> fused_variance_volume_banded
+    kwargs (None = all defaults)."""
+    cfg = {
+        "tile_rows": m.band_tile_rows, "tile_cols": m.band_tile_cols,
+        "band_h": m.band_h, "band_w": m.band_w,
+        "depth_group": m.band_depth_group,
+    }
+    cfg = {k: v for k, v in cfg.items() if v}
+    return cfg or None
+
+
 def build_model_and_task(cfg, volume_constraint=None):
     """cfg: utils.config.Config. Returns (model, task, collate_fn_name)."""
     import jax.numpy as jnp
@@ -33,6 +45,7 @@ def build_model_and_task(cfg, volume_constraint=None):
             arch_mode=m.arch_mode, share_cr=m.share_cr,
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
+            band_cfg=_band_cfg(m),
         )
         return model, CascadeTask(model), "collate_cascade"
     if m.name in ("cvp_mvsnet", "aacvp_mvsnet"):
@@ -43,7 +56,7 @@ def build_model_and_task(cfg, volume_constraint=None):
             cost_mode="group_correlation" if aacvp else m.cost_mode,
             num_groups=m.num_groups, attention=aacvp or m.attention,
             num_heads=m.num_heads, normalization=m.normalization,
-            sampler=m.sampler, compute_dtype=dtype,
+            sampler=m.sampler, compute_dtype=dtype, band_cfg=_band_cfg(m),
         )
         return model, PyramidTask(model), "collate_pyramid"
     if m.name == "point_mvsnet":

@@ -46,8 +46,13 @@ def variance_cost_volume(
     rel_projs: jnp.ndarray,  # (V, 4, 4) src @ ref^-1
     depth_values: jnp.ndarray,  # (D,) or (D, H, W)
     sampler: str = "gather",
+    band_cfg: dict | None = None,
 ) -> jnp.ndarray:
-    """Variance-aggregated cost volume (D, H, W, C) over ref + V source views."""
+    """Variance-aggregated cost volume (D, H, W, C) over ref + V source views.
+
+    band_cfg (hat_banded only): overrides for tile_rows/tile_cols/band_h/
+    band_w/depth_group/count_offband — the coverage budget of the banded warp
+    (plumbed from ModelConfig so wide-baseline datasets can widen the band)."""
     if sampler == "hat":
         # Fully fused path: per-chunk warp + moment accumulation in one loop.
         from mvs_tpu.ops.hat_warp import fused_variance_volume_hat
@@ -61,7 +66,7 @@ def variance_cost_volume(
         from mvs_tpu.ops.hat_warp import fused_variance_volume_banded
 
         return fused_variance_volume_banded(ref_feat, src_feats, rel_projs,
-                                            depth_values)
+                                            depth_values, **(band_cfg or {}))
 
     num_views = src_feats.shape[0] + 1
     d = depth_values.shape[0]

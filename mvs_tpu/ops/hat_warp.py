@@ -215,7 +215,12 @@ def _warp_tile_banded(src, xs, ys, valid, band_h, band_w, wdtype):
     """Banded two-pass hat warp of one output tile.
 
     src (H, W, C); xs/ys/valid (..., R, TW) sample coords (leading dims are
-    plane-group etc., flattened into the matmul batch) -> (..., R, TW, C).
+    plane-group etc., flattened into the matmul batch)
+    -> ((..., R, TW, C), off_band_count).
+
+    off_band_count counts samples that are valid (in-image) but land outside
+    the (band_h, band_w) window and therefore contribute zero — the coverage
+    contract violation that would otherwise silently corrupt the volume.
     """
     h, w, c = src.shape
     lead = xs.shape[:-1]  # (..., R)
@@ -229,6 +234,16 @@ def _warp_tile_banded(src, xs, ys, valid, band_h, band_w, wdtype):
     y_lo, y_hi = _tile_minmax(ys_f, vf > 0, jnp.float32(0.0))
     x0 = _band_start(x_lo, x_hi, band_w, w)
     y0 = _band_start(y_lo, y_hi, band_h, h)
+
+    # Coverage-contract violations: hat support is (pos-1, pos+1), so a valid
+    # sample contributes zero iff it sits at or beyond the band edge.
+    x0f = x0.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+    off = (vf > 0) & (
+        (xs_f <= x0f - 1.0) | (xs_f >= x0f + band_w)
+        | (ys_f <= y0f - 1.0) | (ys_f >= y0f + band_h)
+    )
+    off_count = jnp.sum(off.astype(jnp.int32))
 
     iota_bw = jnp.arange(band_w, dtype=jnp.float32)
     iota_bh = jnp.arange(band_h, dtype=jnp.float32)
@@ -258,7 +273,7 @@ def _warp_tile_banded(src, xs, ys, valid, band_h, band_w, wdtype):
     # Horizontal pass.
     out = jnp.einsum("rob,rbc->roc", hat_x.astype(wdtype), tmp.astype(wdtype),
                      preferred_element_type=jnp.float32)
-    return out.reshape(*lead, tw, c)
+    return out.reshape(*lead, tw, c), off_count
 
 
 def _pad_to(x, axis, multiple, mode="edge"):
@@ -280,8 +295,14 @@ def fused_variance_volume_banded(
     band_h: int = 96,
     band_w: int = 192,
     depth_group: int | None = None,
+    count_offband: bool = False,
 ) -> jnp.ndarray:
     """Banded tiled fused plane-sweep variance volume (D, H, W, C).
+
+    With count_offband=True returns (volume, n) where n is the total number
+    of valid-but-off-band samples (coverage-contract violations; see
+    _warp_tile_banded) summed over views/tiles/planes — 0 when the band
+    budget holds. Cheap enough to leave on in validation runs.
 
     Coverage contract: each band must cover its tile's source footprint —
     roughly the tile extent itself (near-unit epipolar scale in MVS pairs)
@@ -364,6 +385,7 @@ def fused_variance_volume_banded(
 
         sum_f = jnp.zeros((g, tile_rows, tile_cols, c), jnp.float32)
         sum_sq = jnp.zeros_like(sum_f)
+        off_total = jnp.int32(0)
         dep = jnp.broadcast_to(depth_tile, (g, tile_rows, tile_cols))
         # Tile pixel grid, arithmetic order identical to
         # geometry.homography.plane_sweep_coords (einsum then mul-add) so the
@@ -384,9 +406,10 @@ def fused_variance_volume_banded(
             ys = jnp.where(pos, qy / safe_z, -2.0 * h)
             valid = (pos & (xs > -1.0) & (xs < w) & (ys > -1.0) & (ys < h)
                      & in_img[None])
-            warped = _warp_tile_banded(
+            warped, off = _warp_tile_banded(
                 src_feats[v], xs, ys, valid, band_h, band_w, wdtype
             )  # (g, R, TW, C)
+            off_total = off_total + off
             warped = warped.astype(jnp.float32)
             sum_f = sum_f + warped
             sum_sq = sum_sq + warped * warped
@@ -397,9 +420,12 @@ def fused_variance_volume_banded(
         sum_f = sum_f + ref_tile
         sum_sq = sum_sq + ref_tile * ref_tile
         mean = sum_f / num_views
-        return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype)
+        return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype), off_total
 
-    tiles = jax.lax.map(tile_fn, (origins, dv))  # (N, g, R, TW, C)
+    tiles, off_counts = jax.lax.map(tile_fn, (origins, dv))  # (N, g, R, TW, C)
     vol = tiles.reshape(d // g, nr, nc, g, tile_rows, tile_cols, c)
     vol = vol.transpose(0, 3, 1, 4, 2, 5, 6).reshape(d, hp, wp, c)
-    return vol[:, :h, :w]
+    vol = vol[:, :h, :w]
+    if count_offband:
+        return vol, jnp.sum(off_counts)
+    return vol

@@ -30,6 +30,15 @@ class ModelConfig:
     # Activation dtype for the conv/warp compute path ('float32'|'bfloat16');
     # params and the regression head stay f32.
     compute_dtype: str = "float32"
+    # Banded hat-warp coverage budget (sampler='hat' refine stages). 0 = the
+    # ops.hat_warp defaults (tile 32x128, band 96x192 — a 64-px disparity
+    # budget). Widen band_h/band_w for wide-baseline pairs; violations are
+    # observable via the off-band counter (ops.hat_warp, count_offband).
+    band_tile_rows: int = 0
+    band_tile_cols: int = 0
+    band_h: int = 0
+    band_w: int = 0
+    band_depth_group: int = 0
     # MVSNet
     refine: bool = False
     # cascade
@@ -128,11 +137,26 @@ def _coerce(value: str, current):
     return value
 
 
+# Renamed keys accepted with a deprecation warning: old dotted path -> new.
+_DEPRECATED_KEYS = {
+    "train.bf16": ("model.compute_dtype",
+                   lambda v: "bfloat16" if v.lower() in ("1", "true", "yes", "on")
+                   else "float32"),
+}
+
+
 def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must look like section.key=value")
         path, value = ov.split("=", 1)
+        if path in _DEPRECATED_KEYS:
+            import warnings
+
+            new_path, conv = _DEPRECATED_KEYS[path]
+            warnings.warn(f"config key {path!r} is deprecated; use {new_path}",
+                          DeprecationWarning, stacklevel=2)
+            path, value = new_path, conv(value)
         parts = path.split(".")
         obj = cfg
         for p in parts[:-1]:

@@ -25,7 +25,10 @@ __all__ = ["generate", "main"]
 
 
 def generate(root, num_scans=2, num_views=5, height=64, width=96,
-             num_depth=16, num_lights=2, z0=10.0):
+             num_depth=16, num_lights=2, z0=10.0, tilt=(0.0, 0.0)):
+    """tilt: plane slope (dz/dx, dz/dy). A nonzero tilt makes GT depth vary
+    across the image, so an end-to-end quality number cannot be faked by the
+    soft-argmin mid-range prior (the plane z=z0 sits at the ladder centre)."""
     root = Path(root)
     depth_min, depth_max = z0 * 0.8, z0 * 1.2
     interval = (depth_max - depth_min) / (num_depth - 1)
@@ -35,7 +38,7 @@ def generate(root, num_scans=2, num_views=5, height=64, width=96,
     pairs = None
     for s in range(num_scans):
         scene = make_plane_scene(num_views=num_views, height=height,
-                                 width=width, z0=z0, seed=s)
+                                 width=width, z0=z0, seed=s, tilt=tilt)
         scan = f"scan{s + 1}"
         scenes[scan] = scene
 
@@ -80,7 +83,8 @@ def generate(root, num_scans=2, num_views=5, height=64, width=96,
         # ---- GT point cloud (dense plane samples in the view frustum) ----
         ys, xs = np.meshgrid(np.linspace(-4, 4, 160), np.linspace(-5, 5, 200),
                              indexing="ij")
-        stl = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, z0)], axis=1)
+        zs = z0 + tilt[0] * xs + tilt[1] * ys
+        stl = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
         write_ply(root / "Points" / "stl" / f"stl{s + 1:03d}_total.ply",
                   stl.astype(np.float32))
 
@@ -113,9 +117,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=64)
     p.add_argument("--width", type=int, default=96)
     p.add_argument("--depths", type=int, default=16)
+    p.add_argument("--tilt", type=float, nargs=2, default=(0.0, 0.0),
+                   metavar=("DZDX", "DZDY"))
     args = p.parse_args(argv)
     generate(args.root, args.scans, args.views, args.height, args.width,
-             args.depths)
+             args.depths, tilt=tuple(args.tilt))
     print(f"synthetic DTU layout written to {args.root}")
 
 

@@ -13,7 +13,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["SyntheticScene", "make_plane_scene", "texture"]
+__all__ = ["SyntheticScene", "make_plane_scene", "make_step_scene", "texture"]
 
 
 def texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -47,25 +47,11 @@ def _look_rotation() -> np.ndarray:
     return np.eye(3)
 
 
-def make_plane_scene(
-    num_views: int = 3,
-    height: int = 64,
-    width: int = 80,
-    z0: float = 10.0,
-    baseline: float = 0.6,
-    focal: float = 100.0,
-    jitter_angle: float = 0.02,
-    seed: int = 0,
-) -> SyntheticScene:
-    """Cameras spread along x (and slightly rotated) looking at the plane z=z0.
-
-    View 0 is the reference with identity extrinsics.
-    """
+def _camera_rig(num_views, height, width, baseline, focal, jitter_angle, seed):
     rng = np.random.default_rng(seed)
     k = np.array(
         [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]], dtype=np.float64
     )
-
     intrinsics = np.stack([k] * num_views).astype(np.float64)
     extrinsics = np.stack([np.eye(4)] * num_views).astype(np.float64)
     for v in range(1, num_views):
@@ -77,26 +63,67 @@ def make_plane_scene(
         center = np.array([cx, 0.0, 0.0])
         extrinsics[v, :3, :3] = r
         extrinsics[v, :3, 3] = -r @ center
+    return intrinsics, extrinsics
 
+
+def _render_planes(intrinsics, extrinsics, height, width, planes):
+    """Render a scene of planes z = z0 + tx·x + ty·y, each valid over a world-x
+    interval [x_lo, x_hi). `planes` is a list of (z0, tx, ty, x_lo, x_hi).
+    Per ray, the nearest valid intersection wins (correct occlusion for step
+    scenes seen from off-axis cameras). Returns (images, depths)."""
+    num_views = len(intrinsics)
     images = np.zeros((num_views, height, width, 3), dtype=np.float32)
     depths = np.zeros((num_views, height, width), dtype=np.float32)
     ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
     pix = np.stack([xs, ys, np.ones_like(xs)], axis=0).reshape(3, -1).astype(np.float64)
 
     for v in range(num_views):
-        r = extrinsics[v, :3, :3]
-        t = extrinsics[v, :3, 3]
+        r = extrinsics[v][:3, :3]
+        t = extrinsics[v][:3, 3]
         center = -r.T @ t
-        dirs = r.T @ (np.linalg.inv(intrinsics[v]) @ pix)  # (3, N) world-frame ray dirs
-        # Intersect with plane z = z0: center_z + s * dir_z = z0.
-        s = (z0 - center[2]) / dirs[2]
-        world = center[:, None] + s[None] * dirs  # (3, N)
-        tex = texture(world[0], world[1]).reshape(height, width)
+        dirs = r.T @ (np.linalg.inv(intrinsics[v]) @ pix)  # (3, N) world rays
+        best_s = np.full(pix.shape[1], np.inf)
+        best_world = np.zeros((3, pix.shape[1]))
+        for z0, tx, ty, x_lo, x_hi in planes:
+            # Plane n·p = z0 with n = (-tx, -ty, 1):  z - tx·x - ty·y = z0.
+            n = np.array([-tx, -ty, 1.0])
+            denom = n @ dirs
+            s = (z0 - n @ center) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+            hit = center[:, None] + s[None] * dirs
+            ok = (s > 0) & (hit[0] >= x_lo) & (hit[0] < x_hi) & (s < best_s)
+            best_s = np.where(ok, s, best_s)
+            best_world = np.where(ok[None], hit, best_world)
+        tex = texture(best_world[0], best_world[1]).reshape(height, width)
         images[v] = np.repeat(tex[..., None], 3, axis=-1).astype(np.float32)
-        # Camera-frame z of the hit point == depth map value.
-        cam_z = (r @ world + t[:, None])[2]
+        cam_z = (r @ best_world + t[:, None])[2]
+        cam_z = np.where(np.isfinite(best_s), cam_z, 0.0)
         depths[v] = cam_z.reshape(height, width).astype(np.float32)
+    return images, depths
 
+
+def make_plane_scene(
+    num_views: int = 3,
+    height: int = 64,
+    width: int = 80,
+    z0: float = 10.0,
+    baseline: float = 0.6,
+    focal: float = 100.0,
+    jitter_angle: float = 0.02,
+    seed: int = 0,
+    tilt: tuple = (0.0, 0.0),
+) -> SyntheticScene:
+    """Cameras spread along x (and slightly rotated) looking at the plane
+    z = z0 + tilt[0]·x + tilt[1]·y. View 0 is the reference with identity
+    extrinsics. A nonzero tilt makes the depth map vary across the image —
+    essential for tests that must reject a model biased toward the
+    mid-range-constant prediction (the soft-argmin prior at init)."""
+    intrinsics, extrinsics = _camera_rig(
+        num_views, height, width, baseline, focal, jitter_angle, seed
+    )
+    images, depths = _render_planes(
+        intrinsics, extrinsics, height, width,
+        [(z0, tilt[0], tilt[1], -np.inf, np.inf)],
+    )
     return SyntheticScene(
         images=images,
         depths=depths,
@@ -104,4 +131,44 @@ def make_plane_scene(
         extrinsics=extrinsics.astype(np.float32),
         depth_min=z0 * 0.75,
         depth_max=z0 * 1.25,
+    )
+
+
+def make_step_scene(
+    num_views: int = 3,
+    height: int = 64,
+    width: int = 80,
+    z_near: float = 9.0,
+    z_far: float = 11.5,
+    x_edge: float = 0.0,
+    baseline: float = 0.6,
+    focal: float = 100.0,
+    jitter_angle: float = 0.02,
+    seed: int = 0,
+    tilt_far: tuple = (0.0, 0.0),
+) -> SyntheticScene:
+    """Two textured planes with a depth discontinuity at world x = x_edge:
+    the near plane z=z_near for x < x_edge, a (optionally slanted) far plane
+    for x >= x_edge. Exercises occlusion and abrupt disparity jumps — the
+    hostile geometry for banded/tiled warp coverage (the failure mode a
+    fronto-parallel plane can never expose)."""
+    intrinsics, extrinsics = _camera_rig(
+        num_views, height, width, baseline, focal, jitter_angle, seed
+    )
+    images, depths = _render_planes(
+        intrinsics, extrinsics, height, width,
+        [
+            (z_near, 0.0, 0.0, -np.inf, x_edge),
+            (z_far, tilt_far[0], tilt_far[1], x_edge, np.inf),
+        ],
+    )
+    zmin = min(z_near, z_far)
+    zmax = max(z_near, z_far)
+    return SyntheticScene(
+        images=images,
+        depths=depths,
+        intrinsics=intrinsics.astype(np.float32),
+        extrinsics=extrinsics.astype(np.float32),
+        depth_min=zmin * 0.9,
+        depth_max=zmax * 1.1,
     )

@@ -10,7 +10,7 @@ from mvs_tpu.ops.cost_volume import variance_cost_volume
 from mvs_tpu.ops.hat_warp import (
     fused_variance_volume_banded, two_pass_warp, warp_src_feature_hat,
 )
-from mvs_tpu.utils.synthetic import make_plane_scene
+from mvs_tpu.utils.synthetic import make_plane_scene, make_step_scene
 
 
 def test_hat_warp_identity():
@@ -128,6 +128,93 @@ def test_banded_variance_per_pixel_depths():
         tile_rows=16, tile_cols=32, band_h=48, band_w=64, depth_group=4)
     err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
     assert err.mean() < 2e-3, err.mean()
+
+
+def test_banded_sub_image_band_matches_gather():
+    """Band genuinely smaller than the source image: nonzero band offsets,
+    band-relative height interpolation and dynamic_slice windows must all be
+    exercised (they are no-ops when band == image)."""
+    scene = make_plane_scene(num_views=2, height=96, width=128, z0=10.0,
+                             tilt=(0.15, 0.1))
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[1], proj[0])])
+    feats = jnp.asarray(scene.images)
+    base = jnp.asarray(scene.depths[0])
+    hyp = jnp.stack([base - 0.2, base, base + 0.2])
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, hyp,
+                                 sampler="gather")
+    vol_b, off = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, hyp,
+        tile_rows=16, tile_cols=32, band_h=48, band_w=64, depth_group=3,
+        count_offband=True)
+    assert int(off) == 0, f"{int(off)} off-band samples on healthy geometry"
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
+
+
+def test_banded_depth_discontinuity():
+    """Step scene (2.5-unit depth jump at a vertical edge): per-pixel
+    hypothesis tiles straddling the discontinuity must still match gather —
+    the failure mode a fronto-parallel plane can never expose."""
+    scene = make_step_scene(num_views=2, height=96, width=128, baseline=1.2)
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[1], proj[0])])
+    feats = jnp.asarray(scene.images)
+    base = jnp.asarray(scene.depths[0])  # contains the discontinuity
+    hyp = jnp.stack([base - 0.3, base, base + 0.3])
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, hyp,
+                                 sampler="gather")
+    vol_b, off = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, hyp,
+        tile_rows=16, tile_cols=32, band_h=48, band_w=96, depth_group=3,
+        count_offband=True)
+    assert int(off) == 0, f"{int(off)} off-band samples"
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
+    assert np.quantile(err, 0.999) < 0.1
+
+
+def test_banded_dtu_scale_geometry():
+    """DTU-scale millimetre geometry (z~600 mm, wide baseline, slanted
+    surface): the default 64-px disparity budget must hold for per-pixel
+    refine windows, and the banded volume must match gather."""
+    scene = make_plane_scene(num_views=3, height=96, width=128, z0=600.0,
+                             baseline=40.0, focal=280.0, tilt=(0.3, 0.2))
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[v], proj[0]) for v in (1, 2)])
+    feats = jnp.asarray(scene.images)
+    base = jnp.asarray(scene.depths[0])
+    # Cascade-style refine window: 8 hypotheses, ~2.5 mm spacing.
+    offs = (jnp.arange(8, dtype=jnp.float32) - 3.5) * 2.5
+    hyp = base[None] + offs[:, None, None]
+
+    vol_g = variance_cost_volume(feats[0], feats[1:], rels, hyp,
+                                 sampler="gather")
+    vol_b, off = fused_variance_volume_banded(
+        feats[0], feats[1:], rels, hyp,
+        tile_rows=16, tile_cols=32, band_h=48, band_w=96, depth_group=8,
+        count_offband=True)
+    assert int(off) == 0, f"{int(off)} off-band samples at DTU scale"
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 2e-3, err.mean()
+
+
+def test_offband_counter_detects_coverage_violation():
+    """A source footprint wider than the band (anisotropic 2x zoom: a 32-col
+    tile spans 64 source columns) must be reported by the off-band counter —
+    the observability hook for the coverage contract."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 128, 4)).astype(np.float32))
+    zoom = jnp.asarray(np.diag([2.0, 1.0, 1.0, 1.0]).astype(np.float32))
+    depths = jnp.full((4,), 1.0)
+
+    _, off = fused_variance_volume_banded(
+        feats[0], feats[1:], zoom[None], depths,
+        tile_rows=16, tile_cols=32, band_h=32, band_w=32, depth_group=1,
+        count_offband=True)
+    assert int(off) > 0, "coverage violation not detected"
 
 
 def test_banded_variance_uneven_tiles():

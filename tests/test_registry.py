@@ -40,3 +40,27 @@ def test_unknown_model_rejected():
     cfg.model.name = "nope"
     with pytest.raises(ValueError):
         build_model_and_task(cfg)
+
+
+def test_band_cfg_plumbed():
+    cfg = apply_overrides(
+        Config(),
+        ["model.sampler=hat", "model.band_h=128", "model.band_w=256",
+         "model.band_tile_rows=16"],
+    )
+    for name in ("cas_mvsnet", "cvp_mvsnet"):
+        cfg.model.name = name
+        model, _, _ = build_model_and_task(cfg)
+        assert model.band_cfg == {"band_h": 128, "band_w": 256,
+                                  "tile_rows": 16}, name
+    # Defaults (all zero) -> None, i.e. library defaults.
+    cfg2 = Config()
+    cfg2.model.name = "cas_mvsnet"
+    model, _, _ = build_model_and_task(cfg2)
+    assert model.band_cfg is None
+
+
+def test_deprecated_train_bf16_maps_to_compute_dtype():
+    with pytest.warns(DeprecationWarning):
+        cfg = apply_overrides(Config(), ["train.bf16=1"])
+    assert cfg.model.compute_dtype == "bfloat16"
