@@ -21,7 +21,10 @@ import optax
 from mvs_tpu.io import dtu as dtu_io
 from mvs_tpu.io.pipeline import DataLoader
 from mvs_tpu.models.registry import build_model_and_task
-from mvs_tpu.parallel import make_mesh, replicate, shard_batch, volume_sharded_plan
+from mvs_tpu.parallel import (
+    make_mesh, maybe_initialize_distributed, replicate, shard_batch,
+    volume_sharded_plan,
+)
 from mvs_tpu.train import TrainState, make_train_step, parse_milestones
 from mvs_tpu.train.checkpoint import CheckpointManager
 from mvs_tpu.train.schedule import warmup_multistep_lr
@@ -68,15 +71,15 @@ def build_optimizer(cfg, steps_per_epoch: int):
 
 def _build_mesh(cfg):
     n = len(jax.devices())
-    data = cfg.train.mesh_data or max(
-        1, n // (cfg.train.mesh_depth * cfg.train.mesh_space)
-    )
-    # An explicit mesh smaller than the host's device count runs on the
-    # first data*depth*space devices (e.g. debugging a 2-device layout on
-    # an 8-device host).
-    used = data * cfg.train.mesh_depth * cfg.train.mesh_space
-    return make_mesh(data=data, depth=cfg.train.mesh_depth,
-                     space=cfg.train.mesh_space,
+    model_axes = (cfg.train.mesh_view * cfg.train.mesh_depth
+                  * cfg.train.mesh_space)
+    data = cfg.train.mesh_data or max(1, n // model_axes)
+    # An explicit mesh smaller than the device count runs on the first
+    # data*view*depth*space devices (e.g. debugging a 2-device layout on an
+    # 8-device host).
+    used = data * model_axes
+    return make_mesh(data=data, view=cfg.train.mesh_view,
+                     depth=cfg.train.mesh_depth, space=cfg.train.mesh_space,
                      devices=jax.devices()[:used])
 
 
@@ -90,12 +93,18 @@ def main(argv=None):
 
     from mvs_tpu.utils.platform import ensure_platform
 
+    # Multi-host first (the reference's init_process_group slot,
+    # CasMVSNet/train.py:297-302): must run before any backend use.
+    maybe_initialize_distributed()
     ensure_platform()
     mesh = _build_mesh(cfg)
     plan = volume_sharded_plan(mesh)
+    constrained = cfg.model.name in ("mvsnet", "cas_mvsnet")
     model, task, collate_name = build_model_and_task(
-        cfg, volume_constraint=plan.constrain_volume
-        if cfg.model.name in ("mvsnet", "cas_mvsnet") else None,
+        cfg,
+        volume_constraint=plan.constrain_volume if constrained else None,
+        view_constraint=plan.constrain_views
+        if constrained and cfg.train.mesh_view > 1 else None,
     )
     collate = getattr(dtu_io, collate_name)
 

@@ -8,11 +8,13 @@ CasMVSNet/test.py:297-410): for each reference view,
   * fused depth: average of the ref depth and all consistent round-trip depths;
   * accepted pixels are unprojected to world points with the ref view's color.
 
-The per-view consistency/averaging compute is one jit-compiled call with a
-static source count (fixed shapes); the variable-size compaction of accepted
-points happens on the host. Fusion across reference views is embarrassingly
-parallel (the reference used a process Pool, CasMVSNet/test.py:432-444; here
-scan/view parallelism belongs to the mesh — see mvs_tpu.parallel).
+Whole-scene fusion is ONE device program + ONE host readback: the pair list
+is padded to a fixed (V, S) source-index matrix, consistency across all ref
+views runs as a lax.map over refs of a vmap over sources (the fusibile
+single-pass-scene shape, fusibile/fusibile.cu:322-440, instead of the
+reference python fuser's per-ref-view host loop / process Pool,
+CasMVSNet/test.py:432-444). Only the variable-size compaction of accepted
+points happens on the host, from the already-fetched arrays.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from mvs_tpu.geometry.consistency import geometric_consistency
 from mvs_tpu.geometry.homography import pixel_grid
 from mvs_tpu.geometry.projection import invert_rigid
 
-__all__ = ["fuse_view", "fuse_depth_maps", "FusionConfig"]
+__all__ = ["fuse_view", "fuse_depth_maps", "fuse_scene", "FusionConfig"]
 
 
 class FusionConfig:
@@ -108,6 +110,71 @@ def fuse_view(ref_idx: int, src_idxs, depths, confs, intrinsics, extrinsics,
     return world[mask], mask
 
 
+@partial(jax.jit, static_argnames=("conf_thresh", "num_consistent",
+                                   "pixel_thresh", "depth_thresh",
+                                   "depth_mode"))
+def _scene_fusion(depths, confs, intrinsics, extrinsics, src_idx, src_valid,
+                  conf_thresh: float, num_consistent: int,
+                  pixel_thresh: float, depth_thresh: float, depth_mode: str):
+    """All ref views' consistency + averaging + unprojection in ONE program.
+
+    src_idx (V, S) int32 source-view ids per ref view (pair list padded to a
+    fixed S); src_valid (V, S) {0,1} marks real entries. Returns
+    (mask (V, H, W) bool, world (V, H, W, 3)). lax.map over ref views keeps
+    peak memory at one ref view's (S, H, W) stack while remaining a single
+    compiled program (the fusibile whole-scene pass, fusibile.cu:322-440).
+    """
+
+    def per_ref(ref_i):
+        rd, ri, re = depths[ref_i], intrinsics[ref_i], extrinsics[ref_i]
+        sids = src_idx[ref_i]
+        masks, depths_rt = jax.vmap(
+            lambda sd, si, se: geometric_consistency(
+                rd, ri, re, sd, si, se, pixel_thresh=pixel_thresh,
+                depth_thresh=depth_thresh, depth_mode=depth_mode,
+            )
+        )(depths[sids], intrinsics[sids], extrinsics[sids])
+        valid = src_valid[ref_i][:, None, None]
+        geo_count = (masks.astype(depths.dtype) * valid).sum(axis=0)
+        depth_sum = (depths_rt * valid).sum(axis=0)
+        avg_depth = (depth_sum + rd) / (geo_count + 1)
+        accept = (
+            (geo_count >= num_consistent)
+            & (confs[ref_i] > conf_thresh)
+            & (rd > 0)
+        )
+        world = _unproject_view(avg_depth, ri, re).reshape(*rd.shape, 3)
+        return accept, world
+
+    return jax.lax.map(per_ref, jnp.arange(depths.shape[0]))
+
+
+def fuse_scene(depths, confs, intrinsics, extrinsics, pairs,
+               config: FusionConfig | None = None):
+    """Whole-scene fusion masks + world points: one device call, one readback.
+
+    Returns (mask (V, H, W) bool ndarray, world (V, H, W, 3) ndarray). Views
+    absent from `pairs` (or with empty source lists) get all-false masks.
+    """
+    config = config or FusionConfig()
+    num_views = len(depths)
+    max_s = max((len(s) for _, s in pairs), default=1) or 1
+    src_idx = np.zeros((num_views, max_s), np.int32)
+    src_valid = np.zeros((num_views, max_s), np.float32)
+    for ref_view, src_views in pairs:
+        k = len(src_views)
+        src_idx[ref_view, :k] = src_views
+        src_valid[ref_view, :k] = 1.0
+    mask, world = _scene_fusion(
+        jnp.asarray(depths), jnp.asarray(confs), jnp.asarray(intrinsics),
+        jnp.asarray(extrinsics), jnp.asarray(src_idx), jnp.asarray(src_valid),
+        conf_thresh=config.conf_thresh, num_consistent=config.num_consistent,
+        pixel_thresh=config.pixel_thresh, depth_thresh=config.depth_thresh,
+        depth_mode=config.depth_mode,
+    )
+    return np.asarray(mask), np.asarray(world)
+
+
 def fuse_depth_maps(depths, confs, images, intrinsics, extrinsics, pairs,
                     config: FusionConfig | None = None):
     """Fuse a whole scene.
@@ -118,22 +185,17 @@ def fuse_depth_maps(depths, confs, images, intrinsics, extrinsics, pairs,
       pairs: [(ref_view, [src_views...]), ...] (io.read_pair_file format).
     Returns (xyz (N,3) float32, rgb (N,3) uint8 or None).
     """
-    config = config or FusionConfig()
-    depths = jnp.asarray(depths)
-    confs = jnp.asarray(confs)
-    intrinsics = jnp.asarray(intrinsics)
-    extrinsics = jnp.asarray(extrinsics)
-
+    mask, world = fuse_scene(depths, confs, intrinsics, extrinsics, pairs,
+                             config)
     all_xyz, all_rgb = [], []
     for ref_view, src_views in pairs:
         if not src_views:
             continue
-        xyz, mask = fuse_view(ref_view, src_views, depths, confs, intrinsics,
-                              extrinsics, config)
-        all_xyz.append(xyz)
+        m = mask[ref_view]
+        all_xyz.append(world[ref_view][m])
         if images is not None:
             img = np.asarray(images[ref_view])
-            all_rgb.append((np.clip(img[mask], 0, 1) * 255).astype(np.uint8))
+            all_rgb.append((np.clip(img[m], 0, 1) * 255).astype(np.uint8))
 
     xyz = np.concatenate(all_xyz, axis=0) if all_xyz else np.zeros((0, 3), np.float32)
     rgb = np.concatenate(all_rgb, axis=0) if all_rgb else None

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from mvs_tpu.geometry.depth import cascade_depth_samples
 from mvs_tpu.nn.cost_reg import UNetCostRegNet
 from mvs_tpu.nn.feature_nets import CascadeFeatureNet
-from mvs_tpu.ops.cost_volume import variance_cost_volume
+from mvs_tpu.ops.cost_volume import (
+    get_warp_fn, variance_cost_volume, variance_from_partials,
+)
 from mvs_tpu.ops.regression import regress_depth_and_confidence
 
 __all__ = ["CasMVSNet"]
@@ -52,6 +54,14 @@ class CasMVSNet(nn.Module):
     # Optional sharding-constraint hook for each stage's (B, D, H, W, C)
     # cost volume (see parallel.ShardingPlan).
     volume_constraint: Any = None
+    # Optional sharding-constraint hook for the per-source-view warped
+    # feature stack (B, V-1, D, H, W, C). When set, the stage cost volume is
+    # built by materializing the stack and constraining its V axis over the
+    # mesh 'view' axis — GSPMD then runs each shard's warps locally and
+    # finishes the Σf/Σf² moments with one psum over ICI (the pjit form of
+    # parallel.collectives.view_sharded_variance_volume; the reference's only
+    # analogue is NCCL DDP over the batch, CasMVSNet/train.py:297-302).
+    view_constraint: Any = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
@@ -113,10 +123,27 @@ class CasMVSNet(nn.Module):
                 # source window, so the banded tiled warp cuts the hat
                 # matmuls' contraction size by ~HW/(band_h*band_w).
                 sampler = "hat_banded"
-            volume = jax.vmap(
-                lambda rf, sf, rp, hh: variance_cost_volume(
-                    rf, sf, rp, hh, sampler=sampler, band_cfg=self.band_cfg)
-            )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
+            if self.view_constraint is not None:
+                # View-sharded path: materialize the (B, V-1, D, h, w, C)
+                # warped stack, pin its V axis to the mesh, reduce.
+                warp = get_warp_fn("gather" if self.sampler == "gather"
+                                   else "hat")
+                warped = jax.vmap(  # batch
+                    jax.vmap(warp, in_axes=(0, 0, None)),  # source views
+                    in_axes=(0, 0, 0),
+                )(stage_feats[:, 1:], rel_projs, hyp)
+                warped = self.view_constraint(warped)
+                ref_vol = jnp.broadcast_to(
+                    stage_feats[:, 0, None], warped.shape[:1] + warped.shape[2:]
+                )
+                sum_f = warped.sum(axis=1) + ref_vol
+                sum_sq = (warped * warped).sum(axis=1) + ref_vol * ref_vol
+                volume = variance_from_partials(sum_f, sum_sq, v)
+            else:
+                volume = jax.vmap(
+                    lambda rf, sf, rp, hh: variance_cost_volume(
+                        rf, sf, rp, hh, sampler=sampler, band_cfg=self.band_cfg)
+                )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             if self.volume_constraint is not None:
                 volume = self.volume_constraint(volume)
 

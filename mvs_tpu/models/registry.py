@@ -37,7 +37,8 @@ def build_model_and_task(cfg, volume_constraint=None):
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
         )
-        return model, MVSNetTask(model), "collate_mvsnet"
+        return model, MVSNetTask(model, loss_name=cfg.train.loss,
+                                 ohem_topk=cfg.train.ohem_topk), "collate_mvsnet"
     if m.name == "cas_mvsnet":
         model = CasMVSNet(
             base_channels=m.base_channels, ndepths=tuple(m.ndepths),

@@ -23,27 +23,70 @@ __all__ = ["ConvBlock", "ConvTransposeBlock", "FusedConvBlock3D", "Norm"]
 
 
 class Norm(nn.Module):
-    """BatchNorm (default, reference parity) or GroupNorm."""
+    """BatchNorm (default, reference parity) or GroupNorm.
+
+    BatchNorm keeps DEBIASED running statistics: the EMA accumulators start
+    at zero and are divided by ``1 - momentum^count`` when read (Adam-style
+    bias correction). After many steps this is identical to the reference's
+    torch BN (momentum 0.1 torch == 0.9 here), but eval-mode statistics are
+    already correct after a handful of updates instead of lagging toward the
+    zero/unit init for ~1/(1-m) steps — which matters for short fine-tunes
+    and for this repo's small end-to-end training fixtures.
+    """
 
     normalization: str = "batch"
     axis_name: str | None = None
     group_size: int = 8
+    momentum: float = 0.9
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if self.normalization == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                axis_name=self.axis_name,
-            )(x)
         if self.normalization == "group":
             groups = max(1, x.shape[-1] // self.group_size)
             return nn.GroupNorm(num_groups=groups)(x)
         if self.normalization == "none":
             return x
-        raise ValueError(f"unknown normalization {self.normalization!r}")
+        if self.normalization != "batch":
+            raise ValueError(f"unknown normalization {self.normalization!r}")
+
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        acc_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        acc_var = self.variable(
+            "batch_stats", "var", lambda: jnp.zeros((c,), jnp.float32))
+        count = self.variable(
+            "batch_stats", "count", lambda: jnp.zeros((), jnp.float32))
+
+        reduce_axes = tuple(range(x.ndim - 1))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            # E[x^2]-E[x]^2 cancels catastrophically for large-mean/low-var
+            # channels; clamp (see FusedConvBlock3D).
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=reduce_axes) - mean * mean, 0.0)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                acc_mean.value = m * acc_mean.value + (1 - m) * mean
+                acc_var.value = m * acc_var.value + (1 - m) * var
+                count.value = count.value + 1.0
+        else:
+            # Debias: the EMA from a zero init underestimates by 1 - m^t.
+            denom = 1.0 - jnp.power(self.momentum, count.value)
+            safe = jnp.maximum(denom, 1e-8)
+            never = count.value < 0.5  # eval before any update: identity stats
+            mean = jnp.where(never, 0.0, acc_mean.value / safe)
+            var = jnp.where(never, 1.0, acc_var.value / safe)
+
+        y = (x.astype(jnp.float32) - mean) * gamma * jax.lax.rsqrt(
+            var + self.epsilon) + beta
+        return y.astype(x.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -115,10 +158,21 @@ class FusedConvBlock3D(nn.Module):
         if use_bn:
             gamma = self.param("scale", nn.initializers.ones, (c_out,), jnp.float32)
             beta = self.param("bias", nn.initializers.zeros, (c_out,), jnp.float32)
+            # Zero-initialized EMA accumulators, debiased by 1 - m^count at
+            # read time (same scheme as Norm — see its docstring).
             ra_mean = self.variable(
                 "batch_stats", "mean", lambda: jnp.zeros((c_out,), jnp.float32))
             ra_var = self.variable(
-                "batch_stats", "var", lambda: jnp.ones((c_out,), jnp.float32))
+                "batch_stats", "var", lambda: jnp.zeros((c_out,), jnp.float32))
+            ra_count = self.variable(
+                "batch_stats", "count", lambda: jnp.zeros((), jnp.float32))
+
+            def read_stats():
+                denom = jnp.maximum(
+                    1.0 - jnp.power(self.momentum, ra_count.value), 1e-8)
+                never = ra_count.value < 0.5
+                return (jnp.where(never, 0.0, ra_mean.value / denom),
+                        jnp.where(never, 1.0, ra_var.value / denom))
 
         f = fold_factor(c_in, c_out)
         foldable = f >= 2 and x.shape[3] % f == 0
@@ -142,8 +196,9 @@ class FusedConvBlock3D(nn.Module):
                         m = self.momentum
                         ra_mean.value = m * ra_mean.value + (1 - m) * mean
                         ra_var.value = m * ra_var.value + (1 - m) * var
+                        ra_count.value = ra_count.value + 1.0
                 else:
-                    mean, var = ra_mean.value, ra_var.value
+                    mean, var = read_stats()
                 y = (y - mean) * gamma * jax.lax.rsqrt(var + self.epsilon) + beta
             if self.relu:
                 y = jnp.maximum(y, 0.0)
@@ -151,8 +206,9 @@ class FusedConvBlock3D(nn.Module):
 
         # Inference fast path: fold norm into scale/shift, fuse into the kernel.
         if use_bn:
-            scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
-            shift = beta - ra_mean.value * scale
+            mean, var = read_stats()
+            scale = gamma * jax.lax.rsqrt(var + self.epsilon)
+            shift = beta - mean * scale
         else:
             scale = jnp.ones((c_out,), jnp.float32)
             shift = jnp.zeros((c_out,), jnp.float32)

@@ -270,13 +270,20 @@ def conv3d_folded(x, w, scale=None, shift=None, *, relu=False,
     _, d, h, wd, c_in = x.shape
     c_out = w.shape[-1]
     f = fold_factor(c_in, c_out)
+    explicit_kernel = interpret is True  # caller asked for the Pallas path
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    # Kill switch (MVS_TPU_PALLAS_CONV3D=0): route everything through the XLA
-    # conv. Same numerics and param tree either way — used for A/B perf runs
-    # and as a safety valve if a Mosaic lowering regresses.
-    enabled = os.environ.get("MVS_TPU_PALLAS_CONV3D", "1") != "0"
+    # Opt-in switch (MVS_TPU_PALLAS_CONV3D=1): measured END-TO-END on v5e at
+    # the CasMVSNet eval config (1152x864, 48/32/8, bf16, batch 2), the XLA
+    # conv path serves 2.15 depth-maps/s vs 1.46 with this kernel on the hot
+    # path — the kernel's per-step blocking halo DMA (no pipelining against
+    # the 27 tap matmuls) loses more than the lane-padding it saves. Until the
+    # DMA is double-buffered, XLA conv is the default; the kernel stays
+    # available for A/B runs and for shapes where lane padding dominates.
+    # Explicit interpret=True (kernel parity tests) always runs the kernel.
+    enabled = explicit_kernel or os.environ.get(
+        "MVS_TPU_PALLAS_CONV3D", "0") == "1"
     if not enabled or f < 2 or wd % f:
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))

@@ -24,12 +24,17 @@ class ShardingPlan:
     batch_spec:  leading dim of every per-sample input (imgs, projs, depths)
     volume_spec: the (B, D, H, W, C) cost volume / regularizer activations
     depth_spec:  (B, D, H, W) score/prob volumes
+    views_spec:  the (B, V, D, H, W, C) per-source-view warped feature stack
+                 (before moment reduction) — sharding V over 'view' makes
+                 GSPMD finish the Σf/Σf² reduction with one psum over ICI
+                 (the pjit form of collectives.view_sharded_variance_volume)
     """
 
     mesh: Mesh
     batch_spec: P
     volume_spec: P
     depth_spec: P
+    views_spec: P = P()
 
     def constrain_volume(self, vol: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.with_sharding_constraint(
@@ -41,6 +46,11 @@ class ShardingPlan:
             s, NamedSharding(self.mesh, self.depth_spec)
         )
 
+    def constrain_views(self, warped: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.with_sharding_constraint(
+            warped, NamedSharding(self.mesh, self.views_spec)
+        )
+
 
 def data_parallel_plan(mesh: Mesh) -> ShardingPlan:
     """Pure DP: batch over 'data'; volumes follow the batch."""
@@ -49,18 +59,22 @@ def data_parallel_plan(mesh: Mesh) -> ShardingPlan:
         batch_spec=P("data"),
         volume_spec=P("data", None, None, None, None),
         depth_spec=P("data", None, None, None),
+        views_spec=P("data", None, None, None, None, None),
     )
 
 
 def volume_sharded_plan(mesh: Mesh) -> ShardingPlan:
-    """DP + model parallelism inside each volume: depth slabs over 'depth',
-    spatial rows over 'space'. GSPMD handles 3D-conv halos; the softmax over
-    the sharded D axis becomes an all-reduce of max/sum, also automatic."""
+    """DP + model parallelism inside each volume: source views over 'view',
+    depth slabs over 'depth', spatial rows over 'space'. GSPMD handles
+    3D-conv halos; the softmax over the sharded D axis becomes an all-reduce
+    of max/sum, and the view-stack moment reduction becomes a psum — all
+    automatic."""
     return ShardingPlan(
         mesh=mesh,
         batch_spec=P("data"),
         volume_spec=P("data", "depth", "space", None, None),
         depth_spec=P("data", "depth", "space", None),
+        views_spec=P("data", "view", "depth", "space", None, None),
     )
 
 

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["abs_depth_error", "threshold_error_rate", "standard_metrics"]
+__all__ = ["abs_depth_error", "threshold_error_rate", "standard_metrics",
+           "interval_metrics"]
 
 
 def _masked_mean(values, mask):
@@ -33,6 +34,24 @@ def threshold_error_rate(depth_est, depth_gt, mask, thresh):
     """Fraction of valid pixels with |est - gt| > thresh (mm)."""
     err = jnp.abs(depth_est - depth_gt)
     return _masked_mean((err > thresh).astype(jnp.float32), mask > 0.5)
+
+
+def interval_metrics(depth_est, depth_gt, mask, depth_interval,
+                     prefix: str = ""):
+    """Point-MVSNet's hypothesis-interval accuracy metrics: the fraction of
+    valid pixels whose |err| is within 1x / 3x the per-sample depth-hypothesis
+    interval (reference PointMVSNet/pointmvsnet/model.py:342-420, the
+    '<1_pct'/'<3_pct' numbers that gate the flow stages).
+
+    depth_interval: (B,) per-sample hypothesis spacing.
+    """
+    err = jnp.abs(depth_est - depth_gt)
+    iv = depth_interval.reshape((-1,) + (1,) * (err.ndim - 1))
+    valid = mask > 0.5
+    return {
+        f"{prefix}lt1_interval": _masked_mean((err < iv).astype(jnp.float32), valid),
+        f"{prefix}lt3_interval": _masked_mean((err < 3 * iv).astype(jnp.float32), valid),
+    }
 
 
 def standard_metrics(depth_est, depth_gt, mask, prefix: str = ""):

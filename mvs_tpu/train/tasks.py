@@ -13,9 +13,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mvs_tpu.train.losses import (
-    cascade_loss, masked_smooth_l1, point_mvsnet_loss, pyramid_loss,
+    cascade_loss, masked_smooth_l1, ohem_smooth_l1, point_mvsnet_loss,
+    pyramid_loss,
 )
-from mvs_tpu.train.metrics import standard_metrics
+from mvs_tpu.train.metrics import interval_metrics, standard_metrics
 
 __all__ = ["MVSNetTask", "CascadeTask", "PyramidTask", "PointTask"]
 
@@ -45,7 +46,15 @@ class _TaskBase:
 @dataclasses.dataclass
 class MVSNetTask(_TaskBase):
     """batch: imgs (B,V,H,W,3), proj_matrices (B,V,4,4), depth_values (B,D),
-    depth_gt (B,h,w), mask (B,h,w)."""
+    depth_gt (B,h,w), mask (B,h,w).
+
+    loss_name: 'smooth_l1' (reference MVSNet/models/mvsnet.py:201-203) or
+    'ohem' — hard-example-mined smooth-L1 over the hardest ohem_topk fraction
+    of valid pixels (the MVSNet_pl pipeline's loss, MVSNet_pl/losses.py:4-19).
+    """
+
+    loss_name: str = "smooth_l1"
+    ohem_topk: float = 0.6
 
     def loss_and_metrics(self, params, batch_stats, batch, train=True):
         out, new_stats = self._apply(
@@ -53,7 +62,14 @@ class MVSNetTask(_TaskBase):
             batch["imgs"], batch["proj_matrices"], batch["depth_values"],
         )
         depth_key = "refined_depth" if "refined_depth" in out else "depth"
-        loss = masked_smooth_l1(out[depth_key], batch["depth_gt"], batch["mask"])
+        if self.loss_name == "ohem":
+            loss = ohem_smooth_l1(out[depth_key], batch["depth_gt"],
+                                  batch["mask"], topk_frac=self.ohem_topk)
+        elif self.loss_name == "smooth_l1":
+            loss = masked_smooth_l1(out[depth_key], batch["depth_gt"],
+                                    batch["mask"])
+        else:
+            raise ValueError(f"unknown loss {self.loss_name!r}")
         metrics = standard_metrics(out["depth"], batch["depth_gt"], batch["mask"])
         return loss, (new_stats, metrics)
 
@@ -125,6 +141,17 @@ class PointTask(_TaskBase):
 
         b, h, w = out["depth"].shape
         gt = jax.image.resize(batch["depth_gt"], (b, h, w), method="nearest")
-        metrics = standard_metrics(out["depth"], gt, (gt > 0).astype(jnp.float32))
+        mask = (gt > 0).astype(jnp.float32)
+        metrics = standard_metrics(out["depth"], gt, mask)
+        # The reference's <1x/<3x interval accuracies per prediction stage
+        # (PointMVSNet/pointmvsnet/model.py:342-420).
+        metrics.update(interval_metrics(out["depth"], gt, mask,
+                                        batch["depth_interval"]))
+        cb, ch, cw = out["coarse_depth"].shape
+        cgt = jax.image.resize(batch["depth_gt"], (cb, ch, cw), method="nearest")
+        metrics.update(interval_metrics(
+            out["coarse_depth"], cgt, (cgt > 0).astype(jnp.float32),
+            batch["depth_interval"], prefix="coarse_",
+        ))
         metrics.update({k: v for k, v in parts.items()})
         return loss, (new_stats, metrics)

@@ -85,6 +85,11 @@ class TrainConfig:
     warmup_steps: int = 500
     weight_decay: float = 0.0
     optimizer: str = "adam"  # adam | rmsprop | sgd
+    # Depth loss for the single-volume MVSNet task: 'smooth_l1' (reference
+    # MVSNet/models/mvsnet.py:201-203) or 'ohem' — top-k hard-example-mined
+    # smooth-L1 (reference MVSNet_pl/losses.py:4-19, top 60% by default).
+    loss: str = "smooth_l1"
+    ohem_topk: float = 0.6
     grad_clip: float = 0.0
     seed: int = 1
     log_dir: str = "runs/default"
@@ -92,6 +97,7 @@ class TrainConfig:
     summary_every_steps: int = 20
     # mesh
     mesh_data: int = 0  # 0 = all devices on data axis
+    mesh_view: int = 1  # source-view sharding (psum of Σf/Σf² partials)
     mesh_depth: int = 1
     mesh_space: int = 1
 

@@ -1,0 +1,65 @@
+"""Debiased-BatchNorm regression tests.
+
+The running statistics are zero-initialized EMAs divided by 1 - m^count at
+read time (Adam-style bias correction), so eval-mode normalization matches
+train-mode statistics after a handful of updates instead of lagging toward
+the zero/unit init for ~1/(1-m) steps. This is what lets the short e2e
+training fixture produce eval-mode depth maps that reflect what was learned
+(the reference relies on epochs-long training for its torch BN running stats
+to converge, e.g. MVSNet/train.py:123-186).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mvs_tpu.nn.blocks import ConvBlock, FusedConvBlock3D
+
+
+class _M2(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return ConvBlock(8)(x, train)
+
+
+class _M3(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return FusedConvBlock3D(16)(x, train)
+
+
+def _fit_stats(model, x, steps):
+    v = model.init(jax.random.key(0), x, train=True)
+    for _ in range(steps):
+        _, upd = model.apply(v, x, train=True, mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+    return v
+
+
+def test_convblock_eval_matches_train_after_few_steps():
+    # Large mean / modest variance: the regime where a biased EMA from a
+    # zero init visibly corrupts eval-mode normalization.
+    x = jax.random.normal(jax.random.key(1), (4, 16, 16, 3)) * 3.0 + 5.0
+    m = _M2()
+    v = _fit_stats(m, x, steps=8)
+    y_train, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    y_eval = m.apply(v, x, train=False)
+    assert float(jnp.abs(y_train - y_eval).max()) < 1e-4
+
+
+def test_fused_block_eval_matches_train_after_few_steps():
+    x = jax.random.normal(jax.random.key(2), (2, 8, 8, 8, 16)) * 2.0 + 1.0
+    m = _M3()
+    v = _fit_stats(m, x, steps=8)
+    y_train, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    y_eval = m.apply(v, x, train=False)
+    assert float(jnp.abs(y_train - y_eval).max()) < 1e-4
+
+
+def test_eval_before_any_update_is_identity_stats():
+    """count == 0 must fall back to (mean 0, var 1), not divide by ~0."""
+    x = jnp.ones((2, 4, 4, 3))
+    m = _M2()
+    v = m.init(jax.random.key(0), x, train=True)
+    y = m.apply(v, x, train=False)
+    assert bool(jnp.all(jnp.isfinite(y)))
