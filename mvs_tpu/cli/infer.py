@@ -90,7 +90,9 @@ def main(argv=None):
     # Checkpoints store a full TrainState; inference needs params(+batch_stats).
     variables = {"params": restored["params"]}
     if restored.get("batch_stats") is not None:
-        variables["batch_stats"] = restored["batch_stats"]
+        from mvs_tpu.train.checkpoint import migrate_batch_stats
+
+        variables["batch_stats"] = migrate_batch_stats(restored["batch_stats"])
 
     @jax.jit
     def apply_jit(variables, *margs):

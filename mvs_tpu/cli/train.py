@@ -141,13 +141,28 @@ def main(argv=None):
         )
         start_epoch = 0
         if args.resume:
-            restored = ckpt.restore(state)
+            try:
+                restored = ckpt.restore(state)
+            except Exception as e:  # loud format check (nn/blocks.py BN schema)
+                raise RuntimeError(
+                    "--resume failed to restore the checkpoint into the "
+                    "current TrainState layout. If it predates the "
+                    "debiased-BN batch_stats format (no 'count' leaf), load "
+                    "it via CheckpointManager.restore_raw + "
+                    "train.checkpoint.migrate_batch_stats and re-save."
+                ) from e
             if restored is not None:
                 state = restored
                 start_epoch = int(state.step) // steps_per_epoch
                 print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
         step_fn = make_train_step(task)
+
+        def recal_stats(params, stats, batch):
+            # Forward-only train-mode pass: returns refreshed batch_stats.
+            return task.loss_and_metrics(params, stats, batch, train=True)[1][0]
+
+        recal_fn = jax.jit(recal_stats)
         for epoch in range(start_epoch, cfg.train.epochs):
             meter = DictAverageMeter()
             t0 = time.time()
@@ -162,6 +177,20 @@ def main(argv=None):
                     print(f"epoch {epoch} step {i + 1}/{steps_per_epoch} "
                           f"loss {host['loss']:.4f} ({rate:.2f} samples/s)")
             logger.log(int(state.step), meter.mean(), prefix="train_epoch/")
+
+            if cfg.train.bn_recal_batches > 0 and state.batch_stats is not None:
+                # BatchNorm recalibration under the final params (see
+                # TrainConfig.bn_recal_batches): zero-init accumulators +
+                # debiased read == unbiased mean over the recal batches.
+                import jax.numpy as jnp
+
+                stats = jax.tree.map(jnp.zeros_like, state.batch_stats)
+                for i, batch in enumerate(loader):
+                    if i >= cfg.train.bn_recal_batches:
+                        break
+                    stats = recal_fn(state.params, stats,
+                                     shard_batch(mesh, batch))
+                state = state.replace(batch_stats=stats)
 
             if val_ds is not None:
                 val_loader = DataLoader(val_ds, cfg.data.batch_size, collate,

@@ -74,7 +74,7 @@ class CasMVSNet(nn.Module):
 
         feats = CascadeFeatureNet(
             self.base_channels, num_stages, self.arch_mode,
-            self.normalization, self.axis_name,
+            self.normalization, self.axis_name, dtype=self.compute_dtype,
         )(imgs.reshape(b * v, h, w, 3).astype(self.compute_dtype), train)
         # Un-flatten each stage back to (B, V, h_s, w_s, c_s).
         feats = {
@@ -88,7 +88,7 @@ class CasMVSNet(nn.Module):
             # width feeding one shared regularizer.
             shared_reg = UNetCostRegNet(
                 self.base_channels, self.normalization, self.axis_name,
-                name="cost_reg_shared",
+                dtype=self.compute_dtype, name="cost_reg_shared",
             )
 
         outputs = {}
@@ -125,7 +125,12 @@ class CasMVSNet(nn.Module):
                 sampler = "hat_banded"
             if self.view_constraint is not None:
                 # View-sharded path: materialize the (B, V-1, D, h, w, C)
-                # warped stack, pin its V axis to the mesh, reduce.
+                # warped stack, pin its V axis to the mesh, reduce. Only the
+                # per-view samplers ('gather'/'hat') apply here — the banded
+                # sampler is a fused all-view variance with no per-view form,
+                # so refine stages fall back to the dense hat warp; each
+                # shard's stack is V/mesh_view-deep, so the memory win of
+                # banding is (partly) recovered by the sharding itself.
                 warp = get_warp_fn("gather" if self.sampler == "gather"
                                    else "hat")
                 warped = jax.vmap(  # batch
@@ -150,13 +155,13 @@ class CasMVSNet(nn.Module):
             if self.share_cr:
                 volume = nn.Conv(
                     self.base_channels * 4, (1, 1, 1), use_bias=False,
-                    name=f"cr_inproj_{stage}",
+                    dtype=self.compute_dtype, name=f"cr_inproj_{stage}",
                 )(volume)
                 score = shared_reg(volume, train)
             else:
                 score = UNetCostRegNet(
                     self.base_channels, self.normalization, self.axis_name,
-                    name=f"cost_reg_{stage}",
+                    dtype=self.compute_dtype, name=f"cost_reg_{stage}",
                 )(volume, train)
 
             depth, conf, prob = jax.vmap(regress_depth_and_confidence)(

@@ -82,10 +82,11 @@ class CVPMVSNet(nn.Module):
 
         feature_net = PyramidFeatureNet(
             self.feature_channels, self.attention, self.num_heads,
-            self.normalization, self.axis_name,
+            self.normalization, self.axis_name, dtype=self.compute_dtype,
         )
         cost_reg = PyramidCostRegNet(
-            self.reg_base_channels, self.normalization, self.axis_name
+            self.reg_base_channels, self.normalization, self.axis_name,
+            dtype=self.compute_dtype,
         )
 
         # Image pyramid, full res first; shared feature extractor per level.

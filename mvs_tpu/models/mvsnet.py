@@ -61,6 +61,11 @@ class MVSNet(nn.Module):
     # cost volume — the hook through which parallel.ShardingPlan shards depth
     # slabs / spatial tiles over the mesh (GSPMD handles the conv halos).
     volume_constraint: Any = None
+    # Optional sharding-constraint hook for the per-source-view warped
+    # feature stack (B, V-1, D, H, W, C): pins the V axis to the mesh 'view'
+    # axis so each shard warps its views locally and GSPMD finishes the
+    # Σf/Σf² moments with one psum over ICI (see CasMVSNet.view_constraint).
+    view_constraint: Any = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
@@ -69,7 +74,8 @@ class MVSNet(nn.Module):
         # 1. Features for all views in one batched pass (keeps the MXU busy
         #    with one big conv instead of V small ones).
         feats = MVSNetFeatureNet(
-            self.base_channels, self.normalization, self.axis_name
+            self.base_channels, self.normalization, self.axis_name,
+            dtype=self.compute_dtype,
         )(imgs.reshape(b * v, h, w, 3).astype(self.compute_dtype), train)
         fh, fw, fc = feats.shape[1:]
         feats = feats.reshape(b, v, fh, fw, fc)
@@ -79,19 +85,42 @@ class MVSNet(nn.Module):
             "bvij,bjk->bvik", proj_matrices[:, 1:], jnp.linalg.inv(proj_matrices[:, 0])
         )
 
-        def build_volume(ref_feat, src_feats, rels, depths):
-            return variance_cost_volume(ref_feat, src_feats, rels, depths,
-                                        sampler=self.sampler)
+        if self.view_constraint is not None:
+            # View-sharded path: materialize the (B, V-1, D, h, w, C) warped
+            # stack, pin its V axis to the mesh, reduce (GSPMD inserts the
+            # psum over the 'view' axis — the pjit form of
+            # parallel.collectives.view_sharded_variance_volume).
+            from mvs_tpu.ops.cost_volume import (
+                get_warp_fn, variance_from_partials,
+            )
 
-        volume = jax.vmap(build_volume)(
-            feats[:, 0], feats[:, 1:], rel_projs, depth_values
-        )  # (B, D, fh, fw, C)
+            warp = get_warp_fn(self.sampler)
+            warped = jax.vmap(  # batch
+                jax.vmap(warp, in_axes=(0, 0, None)),  # source views
+                in_axes=(0, 0, 0),
+            )(feats[:, 1:], rel_projs, depth_values)
+            warped = self.view_constraint(warped)
+            ref_vol = jnp.broadcast_to(
+                feats[:, 0, None], warped.shape[:1] + warped.shape[2:]
+            )
+            sum_f = warped.sum(axis=1) + ref_vol
+            sum_sq = (warped * warped).sum(axis=1) + ref_vol * ref_vol
+            volume = variance_from_partials(sum_f, sum_sq, v)
+        else:
+            def build_volume(ref_feat, src_feats, rels, depths):
+                return variance_cost_volume(ref_feat, src_feats, rels, depths,
+                                            sampler=self.sampler)
+
+            volume = jax.vmap(build_volume)(
+                feats[:, 0], feats[:, 1:], rel_projs, depth_values
+            )  # (B, D, fh, fw, C)
         if self.volume_constraint is not None:
             volume = self.volume_constraint(volume)
 
         # 3. Regularization -> score volume (B, D, fh, fw).
         score = UNetCostRegNet(
-            self.reg_base_channels, self.normalization, self.axis_name
+            self.reg_base_channels, self.normalization, self.axis_name,
+            dtype=self.compute_dtype,
         )(volume, train)
 
         # 4. Softmax over depth + soft-argmin + confidence.

@@ -54,6 +54,14 @@ class PointMVSNet(nn.Module):
     flow_scales: Sequence[float] = (0.25, 0.5)  # flow res relative to input image
     inter_scales: Sequence[float] = (0.75, 0.375)  # hypothesis interval factors
     coarse_stride: int = 8
+    # Test-time tiled sub-flow (reference PointMVSNet/pointmvsnet/
+    # model.py:231-267): at eval, split each flow lattice into
+    # flow_sub_stride^2 interleaved sub-grids and run the PointFlow body on
+    # each, scattering the depth residuals back. Peak memory of the kNN
+    # feature gather drops by stride^2 (the full-res gather is
+    # (5N, k=16, C~136) floats — infeasible at DTU eval sizes untiled).
+    # 1 = off; ignored in training (the reference also tiles only at test).
+    flow_sub_stride: int = 1
     normalization: str = "batch"
     axis_name: str | None = None
 
@@ -148,7 +156,6 @@ class PointMVSNet(nn.Module):
             zip(self.flow_scales, self.inter_scales)
         ):
             sh, sw = int(h * scale), int(w * scale)
-            n = sh * sw
             interval = inter_scale * depth_interval  # (B,)
             k_flow = scale_intrinsics(intrinsics, scale)
             # Resize pyramid levels to flow res once per iteration.
@@ -164,55 +171,85 @@ class PointMVSNet(nn.Module):
             if not train:
                 depth_flow = jax.lax.stop_gradient(depth_flow)
 
-            def flow_features(depth_b, k_b, extr_b, extr_inv_b, feats_levels_b,
-                              interval_b, mean_b, std_b):
-                """One sample: -> features (num_off*N, C_total), xyz (3,num_off,sh,sw)."""
-                k_inv = jnp.linalg.inv(k_b[0])
-                per_offset_feats = []
-                per_offset_xyz = []
-                for o in range(num_off):
-                    d_o = depth_b.reshape(-1) + offsets[o] * interval_b  # (N,)
-                    world = _unproject_ref_lattice(
-                        k_inv, extr_inv_b[0], d_o, sh, sw
-                    )  # (3, N)
-                    parts = []
-                    for lf in feats_levels_b:
-                        pf = fetch_point_features(lf, world, k_b, extr_b)  # (V,N,C)
-                        m = jnp.mean(pf, axis=0)
-                        parts.append(jnp.mean(pf * pf, axis=0) - m * m)
-                    xyz_n = (world - mean_b[:, None]) / std_b[:, None]  # (3, N)
-                    parts.append(jnp.tile(xyz_n.T, (1, 8)))  # (N, 24)
-                    per_offset_feats.append(jnp.concatenate(parts, axis=-1))
-                    per_offset_xyz.append(xyz_n)
-                feats_all = jnp.stack(per_offset_feats, axis=0)  # (num_off, N, C)
-                xyz_all = jnp.stack(per_offset_xyz, axis=1)  # (3, num_off, N)
-                return (
-                    feats_all.reshape(num_off * n, -1),
-                    xyz_all.reshape(3, num_off, sh, sw),
+            def run_flow(depth_grid, affine, gh, gw):
+                """Flow body on one pixel lattice: depth_grid (B, gh, gw);
+                `affine` (3,3) maps the lattice's 0.5-centred pixel coords to
+                full flow-res pixel coords (identity when untiled). Returns
+                (delta (B, gh, gw), flow_prob (B, num_off, gh, gw))."""
+                n = gh * gw
+
+                def flow_features(depth_b, k_b, extr_b, extr_inv_b,
+                                  feats_levels_b, interval_b, mean_b, std_b):
+                    k_inv = jnp.linalg.inv(k_b[0]) @ affine
+                    per_offset_feats = []
+                    per_offset_xyz = []
+                    for o in range(num_off):
+                        d_o = depth_b.reshape(-1) + offsets[o] * interval_b
+                        world = _unproject_ref_lattice(
+                            k_inv, extr_inv_b[0], d_o, gh, gw
+                        )  # (3, N)
+                        parts = []
+                        for lf in feats_levels_b:
+                            pf = fetch_point_features(lf, world, k_b, extr_b)
+                            m = jnp.mean(pf, axis=0)
+                            parts.append(jnp.mean(pf * pf, axis=0) - m * m)
+                        xyz_n = (world - mean_b[:, None]) / std_b[:, None]
+                        parts.append(jnp.tile(xyz_n.T, (1, 8)))  # (N, 24)
+                        per_offset_feats.append(jnp.concatenate(parts, axis=-1))
+                        per_offset_xyz.append(xyz_n)
+                    feats_all = jnp.stack(per_offset_feats, axis=0)
+                    xyz_all = jnp.stack(per_offset_xyz, axis=1)
+                    return (
+                        feats_all.reshape(num_off * n, -1),
+                        xyz_all.reshape(3, num_off, gh, gw),
+                    )
+
+                feat_pts, xyz = jax.vmap(flow_features)(
+                    depth_grid, k_flow, extrinsics, extr_inv, level_feats,
+                    interval, xyz_mean, xyz_std,
+                )  # (B, num_off*N, C), (B, 3, num_off, gh, gw)
+
+                nn_idx = jax.vmap(
+                    lambda x: lattice_knn(x, kernel_size=num_off, k=self.k)
+                )(xyz)  # (B, num_off*N, k)
+
+                edge_outs = []
+                x = feat_pts
+                for ec in edge_convs:
+                    x = ec(x, nn_idx, train)
+                    edge_outs.append(x)
+                edge_cat = jnp.concatenate(edge_outs, axis=-1)
+                flow = flow_head(flow_mlp(edge_cat, train))  # (B, num_off*N, 1)
+                flow = flow.reshape(b, num_off, gh, gw)
+                flow_prob = jax.nn.softmax(-flow.astype(jnp.float32), axis=1)
+                delta = jnp.sum(
+                    flow_prob
+                    * (offsets[None, :, None, None]
+                       * interval[:, None, None, None]),
+                    axis=1,
                 )
+                return delta, flow_prob
 
-            feat_pts, xyz = jax.vmap(flow_features)(
-                depth_flow, k_flow, extrinsics, extr_inv, level_feats,
-                interval, xyz_mean, xyz_std,
-            )  # (B, num_off*N, C), (B, 3, num_off, sh, sw)
-
-            nn_idx = jax.vmap(
-                lambda x: lattice_knn(x, kernel_size=num_off, k=self.k)
-            )(xyz)  # (B, num_off*N, k)
-
-            edge_outs = []
-            x = feat_pts
-            for ec in edge_convs:
-                x = ec(x, nn_idx, train)
-                edge_outs.append(x)
-            edge_cat = jnp.concatenate(edge_outs, axis=-1)
-            flow = flow_head(flow_mlp(edge_cat, train))  # (B, num_off*N, 1)
-            flow = flow.reshape(b, num_off, sh, sw)
-            flow_prob = jax.nn.softmax(-flow.astype(jnp.float32), axis=1)
-            delta = jnp.sum(
-                flow_prob * (offsets[None, :, None, None] * interval[:, None, None, None]),
-                axis=1,
-            )
+            s = self.flow_sub_stride if not train else 1
+            if s > 1 and sh % s == 0 and sw % s == 0:
+                # Tiled sub-flow: s^2 interleaved sub-lattices (reference
+                # model.py:231-267). Sub pixel centre u maps to full coord
+                # s*u + (off + 0.5 - 0.5*s) in 0.5-centred convention.
+                delta = jnp.zeros_like(depth_flow)
+                flow_prob = jnp.zeros((b, num_off, sh, sw), jnp.float32)
+                for iy in range(s):
+                    for ix in range(s):
+                        affine = jnp.asarray(
+                            [[s, 0.0, ix + 0.5 - 0.5 * s],
+                             [0.0, s, iy + 0.5 - 0.5 * s],
+                             [0.0, 0.0, 1.0]], jnp.float32)
+                        d_sub, p_sub = run_flow(
+                            depth_flow[:, iy::s, ix::s], affine,
+                            sh // s, sw // s)
+                        delta = delta.at[:, iy::s, ix::s].set(d_sub)
+                        flow_prob = flow_prob.at[:, :, iy::s, ix::s].set(p_sub)
+            else:
+                delta, flow_prob = run_flow(depth_flow, jnp.eye(3), sh, sw)
             depth = depth_flow + delta
             preds[f"flow{it + 1}"] = depth
             preds[f"flow{it + 1}_prob"] = flow_prob

@@ -25,7 +25,7 @@ def _band_cfg(m):
     return cfg or None
 
 
-def build_model_and_task(cfg, volume_constraint=None):
+def build_model_and_task(cfg, volume_constraint=None, view_constraint=None):
     """cfg: utils.config.Config. Returns (model, task, collate_fn_name)."""
     import jax.numpy as jnp
 
@@ -36,6 +36,7 @@ def build_model_and_task(cfg, volume_constraint=None):
             base_channels=m.base_channels, refine=m.refine,
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
+            view_constraint=view_constraint,
         )
         return model, MVSNetTask(model, loss_name=cfg.train.loss,
                                  ohem_topk=cfg.train.ohem_topk), "collate_mvsnet"
@@ -46,6 +47,7 @@ def build_model_and_task(cfg, volume_constraint=None):
             arch_mode=m.arch_mode, share_cr=m.share_cr,
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
+            view_constraint=view_constraint,
             band_cfg=_band_cfg(m),
         )
         return model, CascadeTask(model), "collate_cascade"
@@ -64,6 +66,7 @@ def build_model_and_task(cfg, volume_constraint=None):
         model = PointMVSNet(
             img_base_channels=m.base_channels,
             flow_scales=tuple(m.flow_scales), inter_scales=tuple(m.inter_scales),
+            flow_sub_stride=m.flow_sub_stride,
             normalization=m.normalization,
         )
         return model, PointTask(model, num_depth=m.num_depth_coarse), "collate_point"

@@ -64,13 +64,16 @@ class Norm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
+            m2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                # pmean the raw moments, NOT per-device variances: averaging
+                # local variances drops the variance-of-the-means term and
+                # understates the global batch variance.
+                mean = jax.lax.pmean(mean, self.axis_name)
+                m2 = jax.lax.pmean(m2, self.axis_name)
             # E[x^2]-E[x]^2 cancels catastrophically for large-mean/low-var
             # channels; clamp (see FusedConvBlock3D).
-            var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=reduce_axes) - mean * mean, 0.0)
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
                 acc_mean.value = m * acc_mean.value + (1 - m) * mean
@@ -185,13 +188,16 @@ class FusedConvBlock3D(nn.Module):
             if use_bn:
                 if train:
                     mean = jnp.mean(y, axis=(0, 1, 2, 3))
-                    var = jnp.mean(jnp.square(y), axis=(0, 1, 2, 3)) - mean * mean
+                    m2 = jnp.mean(jnp.square(y), axis=(0, 1, 2, 3))
+                    if self.axis_name is not None:
+                        # pmean raw moments (not per-device variances), then
+                        # form the variance — keeps the cross-device
+                        # variance-of-the-means term (see Norm).
+                        mean = jax.lax.pmean(mean, self.axis_name)
+                        m2 = jax.lax.pmean(m2, self.axis_name)
                     # E[x^2]-E[x]^2 can cancel to a tiny negative for
                     # large-mean/low-variance channels; rsqrt(neg) is NaN.
-                    var = jnp.maximum(var, 0.0)
-                    if self.axis_name is not None:
-                        mean = jax.lax.pmean(mean, self.axis_name)
-                        var = jax.lax.pmean(var, self.axis_name)
+                    var = jnp.maximum(m2 - mean * mean, 0.0)
                     if not self.is_initializing():
                         m = self.momentum
                         ra_mean.value = m * ra_mean.value + (1 - m) * mean

@@ -15,6 +15,7 @@ maps the 3D convs onto the MXU as implicit GEMMs.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock, FusedConvBlock3D
 
@@ -23,14 +24,15 @@ __all__ = ["UNetCostRegNet", "PyramidCostRegNet"]
 _K3 = (3, 3, 3)
 
 
-def _conv3(features, normalization, axis_name, **kw):
+def _conv3(features, normalization, axis_name, dtype=None, **kw):
     """Stride-1 3x3x3 block: the Pallas-fused variant for batch/none norm
     (the hot path — one HBM round-trip for conv+norm+relu at inference),
-    plain ConvBlock otherwise (e.g. group norm)."""
+    plain ConvBlock otherwise (e.g. group norm). FusedConvBlock3D follows its
+    input dtype, so `dtype` only parameterizes the ConvBlock fallback."""
     if normalization in ("batch", "none"):
         return FusedConvBlock3D(features, normalization, axis_name, **kw)
     return ConvBlock(features, _K3, normalization=normalization,
-                     axis_name=axis_name, **kw)
+                     axis_name=axis_name, dtype=dtype, **kw)
 
 
 class UNetCostRegNet(nn.Module):
@@ -39,27 +41,31 @@ class UNetCostRegNet(nn.Module):
     base_channels: int = 8
     normalization: str = "batch"
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 AMP slot)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
-        conv0 = _conv3(b, self.normalization, self.axis_name)(x, train)
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name,
+                  dtype=self.dtype)
+        c3 = lambda ch: _conv3(ch, self.normalization, self.axis_name,
+                               dtype=self.dtype)
+        conv0 = c3(b)(x, train)
 
         conv1 = ConvBlock(b * 2, _K3, strides=2, **kw)(conv0, train)
-        conv2 = _conv3(b * 2, self.normalization, self.axis_name)(conv1, train)
+        conv2 = c3(b * 2)(conv1, train)
 
         conv3 = ConvBlock(b * 4, _K3, strides=2, **kw)(conv2, train)
-        conv4 = _conv3(b * 4, self.normalization, self.axis_name)(conv3, train)
+        conv4 = c3(b * 4)(conv3, train)
 
         conv5 = ConvBlock(b * 8, _K3, strides=2, **kw)(conv4, train)
-        conv6 = _conv3(b * 8, self.normalization, self.axis_name)(conv5, train)
+        conv6 = c3(b * 8)(conv5, train)
 
         x = conv4 + ConvTransposeBlock(b * 4, _K3, strides=2, **kw)(conv6, train)
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(x, train)
         x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
         # Final plain conv to a single score channel.
-        score = nn.Conv(1, _K3, padding="SAME")(x)
+        score = nn.Conv(1, _K3, padding="SAME", dtype=self.dtype)(x)
         return score[..., 0]
 
 
@@ -69,12 +75,15 @@ class PyramidCostRegNet(nn.Module):
     base_channels: int = 16
     normalization: str = "batch"
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 AMP slot)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
-        c3 = lambda ch: _conv3(ch, self.normalization, self.axis_name)
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name,
+                  dtype=self.dtype)
+        c3 = lambda ch: _conv3(ch, self.normalization, self.axis_name,
+                               dtype=self.dtype)
         conv0 = c3(b)(x, train)
         conv0 = c3(b)(conv0, train)
 
@@ -89,5 +98,5 @@ class PyramidCostRegNet(nn.Module):
         # Channel-halving "transpose" at stride 1, then a true 2x upsample.
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=1, **kw)(conv4, train)
         x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
-        score = nn.Conv(1, _K3, padding="SAME")(x)
+        score = nn.Conv(1, _K3, padding="SAME", dtype=self.dtype)(x)
         return score[..., 0]

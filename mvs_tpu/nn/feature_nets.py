@@ -35,11 +35,13 @@ class MVSNetFeatureNet(nn.Module):
     base_channels: int = 8
     normalization: str = "batch"
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 AMP slot)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name,
+                  dtype=self.dtype)
         x = ConvBlock(b, (3, 3), **kw)(x, train)
         x = ConvBlock(b, (3, 3), **kw)(x, train)
         x = ConvBlock(b * 2, (5, 5), strides=2, **kw)(x, train)
@@ -48,13 +50,25 @@ class MVSNetFeatureNet(nn.Module):
         x = ConvBlock(b * 4, (5, 5), strides=2, **kw)(x, train)
         x = ConvBlock(b * 4, (3, 3), **kw)(x, train)
         # Final projection: plain conv, no norm/relu.
-        return nn.Conv(b * 4, (3, 3), padding="SAME")(x)
+        return nn.Conv(b * 4, (3, 3), padding="SAME", dtype=self.dtype)(x)
 
 
 def _upsample2x_nearest(x):
+    """Nearest-neighbor 2x upsample as a fixed depthwise transposed conv.
+
+    Stays rank-4 NHWC end to end: the obvious broadcast-to-6D-and-reshape
+    formulation makes XLA:TPU materialize a (B,H,2,W,2,C) temp in a padded
+    layout costing ~6x the tensor's bytes at full DTU resolution (the round-2
+    bench OOM); a 2x2 ones kernel with lhs_dilation=2 and (1,0) padding
+    computes the identical result through the conv path with no intermediate.
+    """
     b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
+    kernel = jnp.ones((2, 2, 1, c), x.dtype)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2), dimension_numbers=dn, feature_group_count=c)
 
 
 class CascadeFeatureNet(nn.Module):
@@ -67,11 +81,13 @@ class CascadeFeatureNet(nn.Module):
     arch_mode: str = "fpn"
     normalization: str = "batch"
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 AMP slot)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name,
+                  dtype=self.dtype)
         conv0 = ConvBlock(b, (3, 3), **kw)(x, train)
         conv0 = ConvBlock(b, (3, 3), **kw)(conv0, train)
 
@@ -83,29 +99,36 @@ class CascadeFeatureNet(nn.Module):
         conv2 = ConvBlock(b * 4, (3, 3), **kw)(conv2, train)
         conv2 = ConvBlock(b * 4, (3, 3), **kw)(conv2, train)
 
-        outputs = {"stage1": nn.Conv(b * 4, (1, 1), use_bias=False)(conv2)}
+        outputs = {"stage1": nn.Conv(b * 4, (1, 1), use_bias=False,
+                                     dtype=self.dtype)(conv2)}
         if self.num_stages == 1:
             return outputs
 
         if self.arch_mode == "fpn":
             final = b * 4
-            intra = _upsample2x_nearest(conv2) + nn.Conv(final, (1, 1))(conv1)
-            outputs["stage2"] = nn.Conv(b * 2, (3, 3), padding="SAME", use_bias=False)(intra)
+            intra = _upsample2x_nearest(conv2) + nn.Conv(
+                final, (1, 1), dtype=self.dtype)(conv1)
+            outputs["stage2"] = nn.Conv(b * 2, (3, 3), padding="SAME",
+                                        use_bias=False, dtype=self.dtype)(intra)
             if self.num_stages == 3:
-                intra = _upsample2x_nearest(intra) + nn.Conv(final, (1, 1))(conv0)
-                outputs["stage3"] = nn.Conv(b, (3, 3), padding="SAME", use_bias=False)(intra)
+                intra = _upsample2x_nearest(intra) + nn.Conv(
+                    final, (1, 1), dtype=self.dtype)(conv0)
+                outputs["stage3"] = nn.Conv(b, (3, 3), padding="SAME",
+                                            use_bias=False, dtype=self.dtype)(intra)
         elif self.arch_mode == "unet":
             up = nn.ConvTranspose(b * 2, (3, 3), strides=(2, 2), padding="SAME",
-                                  use_bias=False)(conv2)
+                                  use_bias=False, dtype=self.dtype)(conv2)
             intra = ConvBlock(b * 2, (3, 3), **kw)(
                 jnp.concatenate([up, conv1], axis=-1), train)
-            outputs["stage2"] = nn.Conv(b * 2, (1, 1), use_bias=False)(intra)
+            outputs["stage2"] = nn.Conv(b * 2, (1, 1), use_bias=False,
+                                        dtype=self.dtype)(intra)
             if self.num_stages == 3:
                 up = nn.ConvTranspose(b, (3, 3), strides=(2, 2), padding="SAME",
-                                      use_bias=False)(intra)
+                                      use_bias=False, dtype=self.dtype)(intra)
                 intra = ConvBlock(b, (3, 3), **kw)(
                     jnp.concatenate([up, conv0], axis=-1), train)
-                outputs["stage3"] = nn.Conv(b, (1, 1), use_bias=False)(intra)
+                outputs["stage3"] = nn.Conv(b, (1, 1), use_bias=False,
+                                            dtype=self.dtype)(intra)
         else:
             raise ValueError(f"arch_mode must be fpn|unet, got {self.arch_mode}")
         return outputs
@@ -122,15 +145,16 @@ class AttentionConv(nn.Module):
     features: int
     kernel_size: int = 3
     groups: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         c = self.features
         k = self.kernel_size
         assert c % 2 == 0 and c % self.groups == 0
-        q = nn.Conv(c, (1, 1), use_bias=False, name="query")(x)
-        key = nn.Conv(c, (1, 1), use_bias=False, name="key")(x)
-        val = nn.Conv(c, (1, 1), use_bias=False, name="value")(x)
+        q = nn.Conv(c, (1, 1), use_bias=False, name="query", dtype=self.dtype)(x)
+        key = nn.Conv(c, (1, 1), use_bias=False, name="key", dtype=self.dtype)(x)
+        val = nn.Conv(c, (1, 1), use_bias=False, name="value", dtype=self.dtype)(x)
 
         rel_h = self.param("rel_h", nn.initializers.normal(1.0), (k, 1, c // 2))
         rel_w = self.param("rel_w", nn.initializers.normal(1.0), (1, k, c // 2))
@@ -175,10 +199,12 @@ class PyramidFeatureNet(nn.Module):
     num_heads: int = 1  # AACVP attention groups
     normalization: str = "batch"
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 AMP slot)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(normalization=self.normalization, axis_name=self.axis_name)
+        kw = dict(normalization=self.normalization, axis_name=self.axis_name,
+                  dtype=self.dtype)
         x = ConvBlock(64, (3, 3), **kw)(x, train)
         x = ConvBlock(64, (3, 3), **kw)(x, train)
         x = ConvBlock(64, (3, 3), **kw)(x, train)
@@ -189,5 +215,5 @@ class PyramidFeatureNet(nn.Module):
         x = ConvBlock(16, (3, 3), **kw)(x, train)
         if self.attention:
             return AttentionConv(self.out_channels, kernel_size=3,
-                                 groups=self.num_heads)(x)
+                                 groups=self.num_heads, dtype=self.dtype)(x)
         return ConvBlock(self.out_channels, (3, 3), **kw)(x, train)

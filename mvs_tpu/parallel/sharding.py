@@ -28,6 +28,18 @@ class ShardingPlan:
                  (before moment reduction) — sharding V over 'view' makes
                  GSPMD finish the Σf/Σf² reduction with one psum over ICI
                  (the pjit form of collectives.view_sharded_variance_volume)
+
+    The constrain_* methods apply the spec with a SHAPE-AWARE GUARD on the
+    'depth'/'space' axes: an axis is only pinned to the mesh if its extent at
+    the cost regularizer's deepest stride-2 level (extent >> unet_levels)
+    stays >= max(3, axis_size). Below that, XLA GSPMD's halo-exchange
+    transpose miscompiles conv KERNEL gradients — measured on jax 0.9.0 CPU:
+    forward and input grads exact, but encoder kernel grads scale by exact
+    powers of two (4x at a D=16 volume sharded depth=2, whose deepest level
+    is D=2). Regression-pinned by
+    tests/test_parallel.py::test_small_extent_axes_are_not_sharded and the
+    volume-sharded train parity test. Real configs hit this too (CasMVSNet
+    stage 3 sweeps D=8), so the guard is semantic, not test plumbing.
     """
 
     mesh: Mesh
@@ -35,20 +47,35 @@ class ShardingPlan:
     volume_spec: P
     depth_spec: P
     views_spec: P = P()
+    unet_levels: int = 3  # stride-2 levels in UNetCostRegNet
+
+    def _guarded(self, spec: P, shape) -> P:
+        out = []
+        for i, axis in enumerate(spec):
+            if axis in ("depth", "space"):
+                n = self.mesh.shape.get(axis, 1)
+                deepest = shape[i] >> self.unet_levels
+                if n <= 1 or deepest < max(3, n):
+                    axis = None
+            out.append(axis)
+        return P(*out)
 
     def constrain_volume(self, vol: jnp.ndarray) -> jnp.ndarray:
+        spec = self._guarded(self.volume_spec, vol.shape)
         return jax.lax.with_sharding_constraint(
-            vol, NamedSharding(self.mesh, self.volume_spec)
+            vol, NamedSharding(self.mesh, spec)
         )
 
     def constrain_scores(self, s: jnp.ndarray) -> jnp.ndarray:
+        spec = self._guarded(self.depth_spec, s.shape)
         return jax.lax.with_sharding_constraint(
-            s, NamedSharding(self.mesh, self.depth_spec)
+            s, NamedSharding(self.mesh, spec)
         )
 
     def constrain_views(self, warped: jnp.ndarray) -> jnp.ndarray:
+        spec = self._guarded(self.views_spec, warped.shape)
         return jax.lax.with_sharding_constraint(
-            warped, NamedSharding(self.mesh, self.views_spec)
+            warped, NamedSharding(self.mesh, spec)
         )
 
 

@@ -12,7 +12,31 @@ from typing import Any
 
 import orbax.checkpoint as ocp
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "migrate_batch_stats"]
+
+
+def migrate_batch_stats(batch_stats, assumed_count: float = 1.0e4):
+    """Upgrade pre-debiased-BN checkpoints to the current format.
+
+    The current Norm/FusedConvBlock3D keep zero-initialized EMA accumulators
+    plus a 'count' scalar and debias at read time (nn/blocks.py). Older
+    checkpoints stored plain EMA mean/var with no 'count'; restoring them
+    as-is would read count=0 and silently fall back to identity statistics.
+    This walks the tree and, wherever a dict holds 'mean'/'var' but no
+    'count', synthesizes count=assumed_count (debias denom 1-m^1e4 == 1, so
+    the stored values pass through unchanged — correct for converged EMAs).
+    """
+    import numpy as np
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if "mean" in out and "var" in out and "count" not in out:
+                out["count"] = np.asarray(assumed_count, np.float32)
+            return out
+        return node
+
+    return walk(batch_stats) if batch_stats is not None else None
 
 
 class CheckpointManager:

@@ -58,6 +58,9 @@ class ModelConfig:
     num_depth_coarse: int = 48
     flow_scales: tuple = (0.25, 0.5)
     inter_scales: tuple = (0.75, 0.375)
+    # Test-time tiled sub-flow stride (1 = untiled; see
+    # models.point_mvsnet.PointMVSNet.flow_sub_stride).
+    flow_sub_stride: int = 1
 
 
 @dataclasses.dataclass
@@ -91,6 +94,12 @@ class TrainConfig:
     loss: str = "smooth_l1"
     ohem_topk: float = 0.6
     grad_clip: float = 0.0
+    # BatchNorm re-estimation: at the end of each epoch, zero the running
+    # stats and refresh them with this many forward passes under the FINAL
+    # params (0 = off). EMA stats trail the fast-moving early-training
+    # feature distributions; recalibration closes the train/eval gap that the
+    # reference never sees only because it trains for >10k steps.
+    bn_recal_batches: int = 8
     seed: int = 1
     log_dir: str = "runs/default"
     ckpt_every_epochs: int = 1

@@ -80,11 +80,26 @@ def generate(root, num_scans=2, num_views=5, height=64, width=96,
             write_cam_file(root / scan / "cams" / f"{v:08d}_cam.txt", cam_full)
         write_pair_file(root / scan / "pair.txt", pairs)
 
-        # ---- GT point cloud (dense plane samples in the view frustum) ----
+        # ---- GT point cloud: dense plane samples restricted to the region
+        # some camera actually observes. The real DTU protocol enforces the
+        # same restriction via ObsMask (Evaluation/dtu/BaseEvalMain_web.m:66-75);
+        # without it, completeness is inflated by surface no pipeline could
+        # ever reconstruct.
         ys, xs = np.meshgrid(np.linspace(-4, 4, 160), np.linspace(-5, 5, 200),
                              indexing="ij")
         zs = z0 + tilt[0] * xs + tilt[1] * ys
         stl = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
+        visible = np.zeros(len(stl), bool)
+        for v in range(num_views):
+            rt = scene.extrinsics[v]
+            cam = stl @ rt[:3, :3].T + rt[:3, 3]
+            uvw = cam @ scene.intrinsics[v].T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = uvw[:, 0] / uvw[:, 2]
+                vv = uvw[:, 1] / uvw[:, 2]
+            visible |= ((uvw[:, 2] > 0) & (u >= 0) & (u < width)
+                        & (vv >= 0) & (vv < height))
+        stl = stl[visible]
         write_ply(root / "Points" / "stl" / f"stl{s + 1:03d}_total.ply",
                   stl.astype(np.float32))
 

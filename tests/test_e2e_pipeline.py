@@ -42,7 +42,7 @@ def e2e_dirs(tmp_path_factory):
         f"data.root={root}", f"data.train_list={root}/lists/train.txt",
         f"data.val_list={root}/lists/val.txt", "data.num_views=3",
         "data.num_depth=16", "data.interval_scale=1.0", "data.batch_size=2",
-        "train.epochs=4", "train.lr=0.002", "train.lr_schedule=3:2",
+        "train.epochs=6", "train.lr=0.002", "train.lr_schedule=5:2",
         "train.warmup_steps=4", "train.summary_every_steps=5",
         f"train.log_dir={run}", "train.mesh_data=2",
     ])

@@ -96,6 +96,50 @@ def test_point_mvsnet_flow_forward(point_batch):
     assert delta.max() <= 2 * float(di[0]) * 0.75 + 1e-5
 
 
+def test_point_mvsnet_tiled_subflow_matches_untiled(point_batch):
+    """Test-time tiled sub-flow (reference PointMVSNet/pointmvsnet/
+    model.py:231-267): stride-2 interleaved sub-lattices produce nearly the
+    depth map of the untiled flow. Exact equality is not expected — the kNN
+    graph of a sub-lattice differs at sub-grid seams — but residuals must be
+    a small fraction of the hypothesis interval."""
+    imgs, intr, extr, ds, di, _ = point_batch
+    kw = dict(flow_scales=(0.25, 0.5), inter_scales=(0.75, 0.375))
+    model = PointMVSNet(**kw)
+    params = model.init(jax.random.key(0), imgs, intr, extr, ds, di,
+                        num_depth=16, use_flow=True)
+    out_full = model.apply(params, imgs, intr, extr, ds, di,
+                           num_depth=16, use_flow=True)
+    tiled = PointMVSNet(flow_sub_stride=2, **kw)
+    out_tiled = tiled.apply(params, imgs, intr, extr, ds, di,
+                            num_depth=16, use_flow=True)
+    assert out_tiled["depth"].shape == out_full["depth"].shape == (1, 32, 32)
+    diff = np.abs(np.asarray(out_tiled["depth"]) - np.asarray(out_full["depth"]))
+    # Residual budget: well under one final-iteration hypothesis step.
+    step = float(di[0]) * 0.375
+    assert diff.mean() < 0.15 * step, (diff.mean(), step)
+    assert np.isfinite(np.asarray(out_tiled["depth"])).all()
+
+
+def test_point_mvsnet_full_res_tiled_inference():
+    """A full-resolution flow inference fits and runs when tiled (stride 4):
+    the memory-bounding contract of the reference's test-time sub-flow."""
+    scene = make_plane_scene(num_views=3, height=256, width=320, z0=10.0)
+    imgs = jnp.asarray(scene.images)[None]
+    intr = jnp.asarray(scene.intrinsics)[None]
+    extr = jnp.asarray(scene.extrinsics)[None]
+    ds, di = jnp.asarray([8.0]), jnp.asarray([4.0 / 15])
+    model = PointMVSNet(flow_scales=(0.25, 0.5), inter_scales=(0.75, 0.375),
+                        flow_sub_stride=4)
+    params = model.init(jax.random.key(0), imgs, intr, extr, ds, di,
+                        num_depth=16, use_flow=False)
+    out = jax.jit(
+        lambda p: model.apply(p, imgs, intr, extr, ds, di,
+                              num_depth=16, use_flow=True)
+    )(params)
+    assert out["depth"].shape == (1, 128, 160)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+
 def test_point_mvsnet_trains(point_batch):
     imgs, intr, extr, ds, di, gt = point_batch
     model = PointMVSNet(flow_scales=(0.125, 0.25), inter_scales=(0.75, 0.375))
