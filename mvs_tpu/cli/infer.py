@@ -1,4 +1,4 @@
-"""Depth-map inference over an eval split.
+"""Depth-map inference over an eval split — batched, compiled once.
 
     python -m mvs_tpu.cli infer --config cfg.yaml --ckpt DIR --out outputs/
 
@@ -6,11 +6,19 @@ Mirrors the reference save_depth stage (CasMVSNet/test.py:147-232): for every
 (scan, ref_view) meta, run the model and write depth_est/*.pfm,
 confidence/*.pfm, cams/*_cam.txt and images per scan directory — the on-disk
 interface the fusion stage consumes.
+
+Unlike the reference's per-sample loop, samples are grouped into SHAPE
+BUCKETS (images are rescaled/aligned per scene, general_eval.py:92-109, so a
+split usually has one bucket) and run through ONE jitted program at
+``data.batch_size`` refs per step; ragged tails are padded by repeating the
+last sample and the padded outputs dropped. bench.py measures this same
+``make_apply_fn`` program, so the benchmarked path IS the product path.
 """
 
 from __future__ import annotations
 
 import argparse
+import time
 from pathlib import Path
 
 import jax
@@ -24,39 +32,79 @@ from mvs_tpu.models.registry import build_model_and_task
 from mvs_tpu.train.checkpoint import CheckpointManager
 from mvs_tpu.utils.config import load_config
 
-__all__ = ["main", "run_inference_sample"]
+__all__ = ["main", "make_apply_fn", "stack_model_inputs",
+           "run_batched_inference"]
 
 
-def _model_inputs(cfg, model, sample):
-    """Build model args from an eval sample (single item -> batch of 1)."""
-    imgs = jnp.asarray(sample["imgs"])[None]
-    intr = jnp.asarray(sample["intrinsics"])[None]
-    extr = jnp.asarray(sample["extrinsics"])[None]
+def stack_model_inputs(cfg, samples):
+    """Stack N same-shaped eval samples into one batch of model args."""
+    imgs = jnp.asarray(np.stack([s["imgs"] for s in samples]))
+    intr = jnp.asarray(np.stack([s["intrinsics"] for s in samples]))
+    extr = jnp.asarray(np.stack([s["extrinsics"] for s in samples]))
     name = cfg.model.name
     if name == "mvsnet":
         proj = compose_projection(scale_intrinsics(intr, 0.25), extr)
-        return (imgs, proj, jnp.asarray(sample["depth_values"])[None])
+        dv = jnp.asarray(np.stack([s["depth_values"] for s in samples]))
+        return (imgs, proj, dv)
     if name == "cas_mvsnet":
         proj = {
             f"stage{i + 1}": compose_projection(scale_intrinsics(intr, s), extr)
             for i, s in enumerate((0.25, 0.5, 1.0))
         }
-        return (imgs, proj, jnp.asarray(sample["depth_values"])[None])
+        dv = jnp.asarray(np.stack([s["depth_values"] for s in samples]))
+        return (imgs, proj, dv)
     if name in ("cvp_mvsnet", "aacvp_mvsnet"):
-        return (imgs, intr, extr, jnp.asarray([sample["depth_min"]]),
-                jnp.asarray([sample["depth_max"]]))
+        return (imgs, intr, extr,
+                jnp.asarray([s["depth_min"] for s in samples]),
+                jnp.asarray([s["depth_max"] for s in samples]))
     if name == "point_mvsnet":
-        return (imgs, intr, extr, jnp.asarray([sample["depth_min"]]),
-                jnp.asarray([sample["depth_interval"]]))
+        return (imgs, intr, extr,
+                jnp.asarray([s["depth_min"] for s in samples]),
+                jnp.asarray([s["depth_interval"] for s in samples]))
     raise ValueError(name)
 
 
-def run_inference_sample(cfg, model, variables, sample, apply_jit):
-    args = _model_inputs(cfg, model, sample)
-    out = apply_jit(variables, *args)
-    depth = np.asarray(out["depth"][0])
-    conf = np.asarray(out["photometric_confidence"][0])
-    return depth, conf
+def make_apply_fn(model):
+    """The single compiled inference program (shared with bench.py)."""
+
+    @jax.jit
+    def apply_jit(variables, *margs):
+        out = model.apply(variables, *margs, train=False)
+        return out["depth"], out["photometric_confidence"]
+
+    return apply_jit
+
+
+def run_batched_inference(cfg, model, variables, samples_iter, batch_size,
+                          apply_fn=None):
+    """Yield (sample, depth, conf) over an iterable of eval samples.
+
+    Samples are grouped by image-stack shape; each full bucket batch runs
+    through one jitted program. Ragged tails are padded by repeating the
+    last sample (padded outputs are discarded). Compiles once per distinct
+    (shape, tail-pad) — in practice once per split.
+    """
+    apply_fn = apply_fn or make_apply_fn(model)
+    pending: dict[tuple, list] = {}
+
+    def flush(bucket):
+        batch = pending.pop(bucket)
+        n = len(batch)
+        padded = batch + [batch[-1]] * (batch_size - n)
+        args = stack_model_inputs(cfg, padded)
+        depth, conf = apply_fn(variables, *args)
+        depth = np.asarray(depth)
+        conf = np.asarray(conf)
+        for j, s in enumerate(batch):
+            yield s, depth[j], conf[j]
+
+    for sample in samples_iter:
+        key = np.asarray(sample["imgs"]).shape
+        pending.setdefault(key, []).append(sample)
+        if len(pending[key]) == batch_size:
+            yield from flush(key)
+    for key in list(pending):
+        yield from flush(key)
 
 
 def main(argv=None):
@@ -94,14 +142,14 @@ def main(argv=None):
 
         variables["batch_stats"] = migrate_batch_stats(restored["batch_stats"])
 
-    @jax.jit
-    def apply_jit(variables, *margs):
-        return model.apply(variables, *margs, train=False)
-
     out_root = Path(args.out)
-    for i in range(len(ds)):
-        sample = ds[i]
-        depth, conf = run_inference_sample(cfg, model, variables, sample, apply_jit)
+    total = len(ds)
+    batch_size = max(1, cfg.data.batch_size)
+    t0 = time.perf_counter()
+    done = 0
+    for sample, depth, conf in run_batched_inference(
+        cfg, model, variables, (ds[i] for i in range(total)), batch_size
+    ):
         scan_dir = out_root / sample["scan"]
         ref = sample["ref_view"]
         write_pfm(scan_dir / "depth_est" / f"{ref:08d}.pfm", depth)
@@ -129,8 +177,12 @@ def main(argv=None):
         img8 = (np.clip(np.asarray(sample["imgs"][0]), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img8).save(scan_dir / "images" / f"{ref:08d}.jpg",
                                    quality=98)
-        print(f"[{i + 1}/{len(ds)}] {sample['scan']} view {ref}: "
+        done += 1
+        print(f"[{done}/{total}] {sample['scan']} view {ref}: "
               f"depth {depth.shape} conf mean {conf.mean():.3f}")
+    dt = time.perf_counter() - t0
+    print(f"inference: {total} depth maps in {dt:.1f}s "
+          f"({total / dt:.2f} maps/s, batch {batch_size})")
 
 
 if __name__ == "__main__":

@@ -39,12 +39,64 @@ def read_scan_list(path) -> list[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+def _is_pre_debiased_bn_checkpoint(ckpt) -> bool:
+    """True iff the latest checkpoint's batch_stats hold mean/var dicts with
+    no 'count' leaf — the pre-debiased-BN on-disk format."""
+    try:
+        raw = ckpt.restore_raw()
+    except Exception:
+        return False
+    if not isinstance(raw, dict):
+        return False
+    stats = raw.get("batch_stats")
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                found.append("count" not in node)
+            for v in node.values():
+                walk(v)
+
+    walk(stats)
+    return bool(found) and any(found)
+
+
+def _install_numerics_guard():
+    """Opt-in NaN tripwire (the reference pins np.seterr(all='raise'),
+    CVP-MVSNet/models/modules.py:11): MVS_TPU_DEBUG_NANS=1 makes jax raise on
+    any NaN-producing op and the train loop assert a finite loss per
+    summary."""
+    import os
+
+    on = os.environ.get("MVS_TPU_DEBUG_NANS", "0") == "1"
+    if on:
+        jax.config.update("jax_debug_nans", True)
+    return on
+
+
 def build_optimizer(cfg, steps_per_epoch: int):
-    milestones, gamma = parse_milestones(cfg.train.lr_schedule)
-    schedule = warmup_multistep_lr(
-        cfg.train.lr, [m * steps_per_epoch for m in milestones], gamma,
-        warmup_steps=cfg.train.warmup_steps,
-    )
+    spec = cfg.train.lr_schedule
+    total = cfg.train.epochs * steps_per_epoch
+    if spec.startswith("poly"):
+        # "poly" or "poly:0.9" (reference MVSNet_pl/opt.py:55-57).
+        from mvs_tpu.train.schedule import poly_lr
+
+        exp = float(spec.split(":")[1]) if ":" in spec else 0.9
+        schedule = poly_lr(cfg.train.lr, total, poly_exp=exp,
+                           warmup_steps=cfg.train.warmup_steps)
+    elif spec.startswith("cosine"):
+        from mvs_tpu.train.schedule import warmup_cosine_lr
+
+        # optax needs decay_steps (= total, incl. warmup) > warmup_steps.
+        warmup = min(cfg.train.warmup_steps, max(total // 10, 1))
+        schedule = warmup_cosine_lr(cfg.train.lr, total, warmup_steps=warmup)
+    else:
+        milestones, gamma = parse_milestones(spec)
+        schedule = warmup_multistep_lr(
+            cfg.train.lr, [m * steps_per_epoch for m in milestones], gamma,
+            warmup_steps=cfg.train.warmup_steps,
+        )
     if cfg.train.optimizer == "adam":
         tx = optax.adam(schedule)
     elif cfg.train.optimizer == "rmsprop":
@@ -97,6 +149,7 @@ def main(argv=None):
     # CasMVSNet/train.py:297-302): must run before any backend use.
     maybe_initialize_distributed()
     ensure_platform()
+    debug_nans = _install_numerics_guard()
     mesh = _build_mesh(cfg)
     plan = volume_sharded_plan(mesh)
     constrained = cfg.model.name in ("mvsnet", "cas_mvsnet")
@@ -143,14 +196,19 @@ def main(argv=None):
         if args.resume:
             try:
                 restored = ckpt.restore(state)
-            except Exception as e:  # loud format check (nn/blocks.py BN schema)
-                raise RuntimeError(
-                    "--resume failed to restore the checkpoint into the "
-                    "current TrainState layout. If it predates the "
-                    "debiased-BN batch_stats format (no 'count' leaf), load "
-                    "it via CheckpointManager.restore_raw + "
-                    "train.checkpoint.migrate_batch_stats and re-save."
-                ) from e
+            except Exception as e:
+                # Blame the BN schema only when the checkpoint actually
+                # predates it (batch_stats with mean/var but no 'count'
+                # leaf); other restore failures (corrupt dir, orbax version,
+                # disk) re-raise untouched so the real cause stays on top.
+                if _is_pre_debiased_bn_checkpoint(ckpt):
+                    raise RuntimeError(
+                        "--resume found a checkpoint predating the "
+                        "debiased-BN batch_stats format (no 'count' leaf). "
+                        "Load it via CheckpointManager.restore_raw + "
+                        "train.checkpoint.migrate_batch_stats and re-save."
+                    ) from e
+                raise
             if restored is not None:
                 state = restored
                 start_epoch = int(state.step) // steps_per_epoch
@@ -171,6 +229,10 @@ def main(argv=None):
                 state, metrics = step_fn(state, batch)
                 if (i + 1) % cfg.train.summary_every_steps == 0:
                     host = {k: float(v) for k, v in metrics.items()}
+                    if debug_nans and not np.isfinite(host["loss"]):
+                        raise FloatingPointError(
+                            f"non-finite loss {host['loss']} at step "
+                            f"{int(state.step)} (MVS_TPU_DEBUG_NANS=1)")
                     meter.update(host)
                     rate = (i + 1) * cfg.data.batch_size / (time.time() - t0)
                     logger.log(int(state.step), host, prefix="train/")
@@ -179,18 +241,25 @@ def main(argv=None):
             logger.log(int(state.step), meter.mean(), prefix="train_epoch/")
 
             if cfg.train.bn_recal_batches > 0 and state.batch_stats is not None:
-                # BatchNorm recalibration under the final params (see
-                # TrainConfig.bn_recal_batches): zero-init accumulators +
-                # debiased read == unbiased mean over the recal batches.
+                # Opt-in BatchNorm recalibration under the final params (see
+                # TrainConfig.bn_recal_batches). Each batch's moments are
+                # computed from a FRESH zero-stats tree (one EMA step from
+                # zero debias-reads back to exactly that batch's moments),
+                # then averaged with EQUAL weights — chaining EMA updates
+                # would weight the recal batches geometrically.
                 import jax.numpy as jnp
 
-                stats = jax.tree.map(jnp.zeros_like, state.batch_stats)
+                zero = jax.tree.map(jnp.zeros_like, state.batch_stats)
+                acc, n_acc = None, 0
                 for i, batch in enumerate(loader):
                     if i >= cfg.train.bn_recal_batches:
                         break
-                    stats = recal_fn(state.params, stats,
-                                     shard_batch(mesh, batch))
-                state = state.replace(batch_stats=stats)
+                    s = recal_fn(state.params, zero, shard_batch(mesh, batch))
+                    acc = s if acc is None else jax.tree.map(jnp.add, acc, s)
+                    n_acc += 1
+                if n_acc:
+                    state = state.replace(batch_stats=jax.tree.map(
+                        lambda a: a / n_acc, acc))
 
             if val_ds is not None:
                 val_loader = DataLoader(val_ds, cfg.data.batch_size, collate,

@@ -96,6 +96,19 @@ class DataLoader:
         lock = threading.Lock()
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that still honors `stop`: a consumer that breaks
+            out of the iterator early (e.g. BN recalibration taking only a
+            few batches) must not leave workers blocked in out_q.put()
+            forever, holding a collated batch of host RAM each."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             rng = np.random.default_rng(self.seed + self.epoch * 7919)
             while not stop.is_set():
@@ -105,9 +118,11 @@ class DataLoader:
                     return
                 try:
                     batch = self.collate_fn([self._get_sample(i, rng) for i in b])
-                    out_q.put((bi, batch))
+                    if not put_or_stop((bi, batch)):
+                        return
                 except Exception as e:  # surface errors to the consumer
-                    out_q.put((bi, e))
+                    if not put_or_stop((bi, e)):
+                        return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
@@ -129,3 +144,5 @@ class DataLoader:
                     next_bi += 1
         finally:
             stop.set()
+            for t in threads:
+                t.join(timeout=2.0)

@@ -94,7 +94,11 @@ class MVSNet(nn.Module):
                 get_warp_fn, variance_from_partials,
             )
 
-            warp = get_warp_fn(self.sampler)
+            # Only per-view samplers ('gather'/'hat') have a warp fn here;
+            # 'hat_banded' is a fused all-view variance with no per-view
+            # form — fall back to the dense hat warp (same as CasMVSNet's
+            # view-sharded branch, cas_mvsnet.py).
+            warp = get_warp_fn("gather" if self.sampler == "gather" else "hat")
             warped = jax.vmap(  # batch
                 jax.vmap(warp, in_axes=(0, 0, None)),  # source views
                 in_axes=(0, 0, 0),

@@ -130,17 +130,15 @@ class PointMVSNet(nn.Module):
             "coarse_prob_map": prob_map,
             "world_points": world_points,
         }
-        if not use_flow:
-            preds["depth"] = depth
-            return preds
 
-        # ---------------- PointFlow refinement ----------------
+        # Flow modules are constructed unconditionally so the parameter tree
+        # is identical whether or not the flow runs. The reference trains the
+        # coarse network for INIT_EPOCHs and then enables PointFlow on the
+        # *same* weights (PointMVSNet/pointmvsnet/train.py:218 — torch modules
+        # own all params regardless of isFlow); a coarse-only init must
+        # therefore still create the flow branch's params.
         flow_tower = ImageConv(self.img_base_channels, **kw, name="flow_img_conv")
-        pyramid = flow_tower(imgs.reshape(b * v, h, w, 3), train)
         chosen = ("conv1", "conv2", "conv3")
-        if not train:
-            pyramid = {c: jax.lax.stop_gradient(pyramid[c]) for c in chosen}
-
         edge_convs = [
             EdgeConv(32, concat_central=False, **kw, name="edge_conv0"),
             EdgeConv(32, concat_central=True, **kw, name="edge_conv1"),
@@ -151,6 +149,30 @@ class PointMVSNet(nn.Module):
 
         offsets = jnp.asarray(_OFFSETS, dtype=jnp.float32)
         num_off = len(_OFFSETS)
+
+        if not use_flow:
+            if self.is_initializing():
+                # Touch every flow module with shape-minimal dummies so their
+                # params exist (param shapes depend only on channel counts).
+                # Flax skips running-stat updates while initializing, so this
+                # has no numeric side effects.
+                pyr = flow_tower(jnp.zeros((1, 16, 16, 3), imgs.dtype), False)
+                c_feat = sum(pyr[c].shape[-1] for c in chosen) + 24
+                n_pts = num_off * 4
+                x = jnp.zeros((1, n_pts, c_feat), jnp.float32)
+                dummy_idx = jnp.zeros((1, n_pts, self.k), jnp.int32)
+                outs = []
+                for ec in edge_convs:
+                    x = ec(x, dummy_idx, False)
+                    outs.append(x)
+                flow_head(flow_mlp(jnp.concatenate(outs, axis=-1), False))
+            preds["depth"] = depth
+            return preds
+
+        # ---------------- PointFlow refinement ----------------
+        pyramid = flow_tower(imgs.reshape(b * v, h, w, 3), train)
+        if not train:
+            pyramid = {c: jax.lax.stop_gradient(pyramid[c]) for c in chosen}
 
         for it, (scale, inter_scale) in enumerate(
             zip(self.flow_scales, self.inter_scales)

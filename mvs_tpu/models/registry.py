@@ -59,6 +59,8 @@ def build_model_and_task(cfg, volume_constraint=None, view_constraint=None):
             cost_mode="group_correlation" if aacvp else m.cost_mode,
             num_groups=m.num_groups, attention=aacvp or m.attention,
             num_heads=m.num_heads, normalization=m.normalization,
+            use_epipolar_interval=m.use_epipolar_interval,
+            train_interval=m.train_interval,
             sampler=m.sampler, compute_dtype=dtype, band_cfg=_band_cfg(m),
         )
         return model, PyramidTask(model), "collate_pyramid"

@@ -8,10 +8,17 @@ for depth/space-sharded 3D convs). This module centralizes those annotations.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+# Axes already warned about (axis name, reason extent) — warn once per axis
+# so a scan over stages doesn't spam, but the first silent de-shard is loud.
+_warned_axes: set[str] = set()
 
 __all__ = ["ShardingPlan", "data_parallel_plan", "volume_sharded_plan",
            "shard_batch", "replicate"]
@@ -49,13 +56,31 @@ class ShardingPlan:
     views_spec: P = P()
     unet_levels: int = 3  # stride-2 levels in UNetCostRegNet
 
-    def _guarded(self, spec: P, shape) -> P:
+    def _guarded(self, spec: P, shape, levels: int | None = None) -> P:
+        """Apply the small-extent guard; `levels` is the number of stride-2
+        encoder levels the tensor passes through (defaults to the U-Net depth
+        for volume-path tensors; pass 0 for tensors that never enter the
+        encoder, e.g. the regularizer's output scores)."""
+        if levels is None:
+            levels = self.unet_levels
         out = []
         for i, axis in enumerate(spec):
             if axis in ("depth", "space"):
                 n = self.mesh.shape.get(axis, 1)
-                deepest = shape[i] >> self.unet_levels
-                if n <= 1 or deepest < max(3, n):
+                deepest = shape[i] >> levels
+                if n > 1 and deepest < max(3, n):
+                    if axis not in _warned_axes:
+                        _warned_axes.add(axis)
+                        logger.warning(
+                            "ShardingPlan: dropping requested mesh axis %r "
+                            "(size %d) for a tensor with extent %d at dim %d "
+                            "(deepest U-Net level extent %d < %d): small-"
+                            "extent sharded conv gradients miscompile under "
+                            "GSPMD — the tensor stays unsharded on this axis.",
+                            axis, n, shape[i], i, deepest, max(3, n),
+                        )
+                    axis = None
+                elif n <= 1:
                     axis = None
             out.append(axis)
         return P(*out)
@@ -67,7 +92,10 @@ class ShardingPlan:
         )
 
     def constrain_scores(self, s: jnp.ndarray) -> jnp.ndarray:
-        spec = self._guarded(self.depth_spec, s.shape)
+        # Scores are the regularizer OUTPUT: they never pass through the
+        # stride-2 encoder, so only the final 3x3x3 conv's halo matters —
+        # guard at levels=0 (kept shardable down to per-shard extent 3).
+        spec = self._guarded(self.depth_spec, s.shape, levels=0)
         return jax.lax.with_sharding_constraint(
             s, NamedSharding(self.mesh, spec)
         )

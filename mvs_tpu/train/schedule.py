@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import optax
 
-__all__ = ["parse_milestones", "multistep_lr", "warmup_multistep_lr", "warmup_cosine_lr"]
+__all__ = ["parse_milestones", "multistep_lr", "warmup_multistep_lr",
+           "warmup_cosine_lr", "poly_lr"]
 
 
 def parse_milestones(spec: str) -> tuple[list[int], float]:
@@ -53,3 +54,22 @@ def warmup_cosine_lr(base_lr: float, total_steps: int,
         init_value=base_lr / 3.0, peak_value=base_lr,
         warmup_steps=warmup_steps, decay_steps=total_steps,
     )
+
+
+def poly_lr(base_lr: float, total_steps: int, poly_exp: float = 0.9,
+            warmup_steps: int = 0) -> optax.Schedule:
+    """Polynomial decay: lr = base * (1 - step/total)^poly_exp, with an
+    optional linear warmup (reference MVSNet_pl/opt.py:55-57 +
+    utils/__init__.py:36-38, default exponent 0.9)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        lr = base_lr * (1.0 - frac) ** poly_exp
+        if warmup_steps > 0:
+            alpha = jnp.minimum(step / warmup_steps, 1.0)
+            lr = lr * ((1.0 / 3.0) * (1 - alpha) + alpha)
+        return lr
+
+    return schedule

@@ -54,6 +54,11 @@ class ModelConfig:
     num_groups: int = 4
     attention: bool = False
     num_heads: int = 1
+    # Test-time per-scene epipolar 1-px hypothesis interval (reference
+    # CVP-MVSNet/models/modules.py:146-219; train uses the fixed
+    # train_interval). Set in eval configs (see configs/cvp_eval_dtu.yaml).
+    use_epipolar_interval: bool = False
+    train_interval: float = 6.8085
     # point
     num_depth_coarse: int = 48
     flow_scales: tuple = (0.25, 0.5)
@@ -94,12 +99,14 @@ class TrainConfig:
     loss: str = "smooth_l1"
     ohem_topk: float = 0.6
     grad_clip: float = 0.0
-    # BatchNorm re-estimation: at the end of each epoch, zero the running
-    # stats and refresh them with this many forward passes under the FINAL
-    # params (0 = off). EMA stats trail the fast-moving early-training
-    # feature distributions; recalibration closes the train/eval gap that the
-    # reference never sees only because it trains for >10k steps.
-    bn_recal_batches: int = 8
+    # Opt-in BatchNorm re-estimation: at the end of each epoch, replace the
+    # running stats with an EQUAL-WEIGHT mean of per-batch moments over this
+    # many forward passes under the FINAL params (0 = off, the reference's
+    # behavior). EMA stats trail the fast-moving early-training feature
+    # distributions; recalibration closes the train/eval gap on SHORT runs
+    # (e.g. the e2e fixtures). On full-length (>10k step) runs the
+    # accumulated EMA is the lower-variance estimate — leave this off.
+    bn_recal_batches: int = 0
     seed: int = 1
     log_dir: str = "runs/default"
     ckpt_every_epochs: int = 1

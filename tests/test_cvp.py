@@ -60,6 +60,42 @@ def test_cvp_epipolar_interval_mode(cvp_batch):
     assert np.isfinite(np.asarray(out["depth"])).all()
 
 
+def test_cvp_five_level_eval_scale():
+    """The reference evaluates nscale=5 at 1600x1200 with the per-pixel
+    epipolar interval (CVP-MVSNet/eval.sh, models/modules.py:146-219). This
+    exercises that exact pipeline shape — 5 pyramid levels, 48-hypothesis
+    coarse sweep, epipolar-interval refinement at every level, shared
+    CostRegNet reused across all 5 scales — at a CPU-sized non-square
+    resolution (320x256; the checked-in TPU config configs/cvp_eval_dtu.yaml
+    runs the same model at 1600x1200)."""
+    scene = make_plane_scene(num_views=3, height=256, width=320, z0=10.0)
+    imgs = jnp.asarray(scene.images)[None]
+    intr = jnp.asarray(scene.intrinsics)[None]
+    extr = jnp.asarray(scene.extrinsics)[None]
+    dmin, dmax = jnp.asarray([8.0]), jnp.asarray([12.0])
+    model = CVPMVSNet(num_levels=5, coarse_depths=48,
+                      use_epipolar_interval=True)
+    params = model.init(jax.random.key(0), imgs, intr, extr, dmin, dmax)
+    out = jax.jit(
+        lambda p: model.apply(p, imgs, intr, extr, dmin, dmax)
+    )(params)
+    # Full pyramid: coarsest 16x20 (256/16, 320/16) up to full res.
+    assert out["depth"].shape == (1, 256, 320)
+    assert [d.shape for d in out["depth_levels"]] == [
+        (1, 256 >> i, 320 >> i) for i in range(5)
+    ]
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all()
+    assert np.isfinite(np.asarray(out["photometric_confidence"])).all()
+    # The 48-hypothesis coarse sweep brackets the global range, so its
+    # soft-argmin is strictly inside [8, 12]. (Refined levels sweep
+    # *residual* windows sized by the per-scene epipolar interval — with
+    # untrained weights those can walk outside the range, so only
+    # finiteness is asserted on them above.)
+    coarse = np.asarray(out["depth_levels"][-1])
+    assert coarse.min() > 7.99 and coarse.max() < 12.01
+
+
 def test_cvp_overfits_synthetic_plane(cvp_batch):
     imgs, intr, extr, dmin, dmax, gt_levels, masks = cvp_batch
     model = CVPMVSNet(num_levels=2, coarse_depths=16, train_interval=0.5)

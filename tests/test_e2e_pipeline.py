@@ -44,6 +44,10 @@ def e2e_dirs(tmp_path_factory):
         "data.num_depth=16", "data.interval_scale=1.0", "data.batch_size=2",
         "train.epochs=6", "train.lr=0.002", "train.lr_schedule=5:2",
         "train.warmup_steps=4", "train.summary_every_steps=5",
+        # Short-run fixture: 30 steps of EMA lag is material, so opt in to
+        # the end-of-epoch BN recalibration (default off, matching the
+        # reference's long-run behavior — see TrainConfig.bn_recal_batches).
+        "train.bn_recal_batches=8",
         f"train.log_dir={run}", "train.mesh_data=2",
     ])
 

@@ -56,6 +56,46 @@ def test_fused_block_eval_matches_train_after_few_steps():
     assert float(jnp.abs(y_train - y_eval).max()) < 1e-4
 
 
+def test_bn_recal_equal_weight_mean():
+    """The cli.train BN recalibration scheme: each batch's moments read from
+    a FRESH zero tree after one EMA step (debias denom 1-m cancels exactly),
+    then tree-averaged — this must equal the plain equal-weight mean of the
+    per-batch moments, with no geometric weighting."""
+    import numpy as np
+
+    m = _M2()
+    x0 = jax.random.normal(jax.random.key(3), (4, 8, 8, 3))
+    v = m.init(jax.random.key(0), x0, train=True)
+    batches = [
+        jax.random.normal(jax.random.key(10 + i), (4, 8, 8, 3)) * (1 + i)
+        for i in range(4)
+    ]
+    zero = jax.tree.map(jnp.zeros_like, v["batch_stats"])
+    acc = None
+    for xb in batches:
+        _, upd = m.apply({"params": v["params"], "batch_stats": zero}, xb,
+                         train=True, mutable=["batch_stats"])
+        s = upd["batch_stats"]
+        acc = s if acc is None else jax.tree.map(jnp.add, acc, s)
+    stats = jax.tree.map(lambda a: a / len(batches), acc)
+
+    # Debiased read of the recal tree == equal-weight mean of batch moments.
+    bn = stats["ConvBlock_0"]["Norm_0"]
+    count = float(bn["count"])
+    denom = 1.0 - 0.9 ** count
+    got_mean = np.asarray(bn["mean"]) / denom
+    conv = {"params": v["params"]["ConvBlock_0"]["Conv_0"]}
+
+    def conv_out(xb):
+        return nn.Conv(8, (3, 3), padding="SAME", use_bias=False).apply(
+            conv, xb)
+
+    want_mean = np.mean(
+        [np.asarray(jnp.mean(conv_out(xb), axis=(0, 1, 2))) for xb in batches],
+        axis=0)
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-5, atol=1e-5)
+
+
 def test_eval_before_any_update_is_identity_stats():
     """count == 0 must fall back to (mean 0, var 1), not divide by ~0."""
     x = jnp.ones((2, 4, 4, 3))

@@ -75,7 +75,7 @@ def _mvsnet_batch(batch_size, num_depth=16):
     }
 
 
-def test_small_extent_axes_are_not_sharded():
+def test_small_extent_axes_are_not_sharded(caplog):
     """The ShardingPlan guard: 'depth'/'space' are dropped from the spec when
     the regularizer's deepest stride-2 level would underflow.
 
@@ -87,15 +87,29 @@ def test_small_extent_axes_are_not_sharded():
     stage 3 sweeps D=8 — so constrain_volume must refuse those axes rather
     than rely on callers knowing the rule.
     """
+    import logging
+
+    from mvs_tpu.parallel import sharding as sharding_mod
+
     mesh = make_mesh(data=2, depth=2, space=2)
     plan = volume_sharded_plan(mesh)
-    small = plan._guarded(plan.volume_spec, (4, 16, 16, 16, 32))
+    sharding_mod._warned_axes.clear()
+    with caplog.at_level(logging.WARNING, logger="mvs_tpu.parallel.sharding"):
+        small = plan._guarded(plan.volume_spec, (4, 16, 16, 16, 32))
     assert small == P("data", None, None, None, None), small
+    # De-sharding is never silent: the first drop of each axis warns.
+    dropped = [r for r in caplog.records if "dropping requested mesh axis" in r.message]
+    assert {"'depth'" in r.message or "'space'" in r.message for r in dropped} == {True}
+    assert len(dropped) == 2, [r.message for r in dropped]
     ok = plan._guarded(plan.volume_spec, (4, 32, 32, 32, 32))
     assert ok == P("data", "depth", "space", None, None), ok
     # Guard is per-axis: D large enough, H too small.
     mixed = plan._guarded(plan.volume_spec, (4, 48, 16, 16, 32))
     assert mixed == P("data", "depth", None, None, None), mixed
+    # Scores never enter the stride-2 encoder: guarded at levels=0, so a
+    # D=16 score volume stays depth-shardable while the D=16 volume doesn't.
+    scores = plan._guarded(plan.depth_spec, (4, 16, 16, 16), levels=0)
+    assert scores == P("data", "depth", "space", None), scores
 
 
 def test_data_parallel_train_step_matches_single_device():

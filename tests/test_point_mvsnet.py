@@ -140,6 +140,61 @@ def test_point_mvsnet_full_res_tiled_inference():
     assert np.isfinite(np.asarray(out["depth"])).all()
 
 
+def test_point_mvsnet_staged_coarse_then_flow_training(point_batch):
+    """Reference workflow: train coarse-only for INIT_EPOCHs, then enable
+    PointFlow on the *same* weights (PointMVSNet/pointmvsnet/train.py:218 —
+    torch modules own all params regardless of isFlow). A coarse-only init
+    must therefore create the flow params, and training must continue
+    seamlessly when the flow is switched on."""
+    imgs, intr, extr, ds, di, gt = point_batch
+    model = PointMVSNet(flow_scales=(0.125, 0.25), inter_scales=(0.75, 0.375))
+    variables = model.init(jax.random.key(2), imgs, intr, extr, ds, di,
+                           num_depth=16, use_flow=False, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # Flow-branch params exist even though init never ran the flow.
+    for name in ("flow_img_conv", "edge_conv0", "edge_conv1", "edge_conv2",
+                 "flow_mlp", "flow_head"):
+        assert name in params, sorted(params)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def make_step(use_flow):
+        @jax.jit
+        def step(params, batch_stats, opt_state):
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    imgs, intr, extr, ds, di, num_depth=16, use_flow=use_flow,
+                    train=True, mutable=["batch_stats"],
+                )
+                total, _ = point_mvsnet_loss(out, gt, di)
+                return total, updates
+
+            (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            pu, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, pu), updates["batch_stats"],
+                    opt_state, loss)
+        return step
+
+    coarse_step, flow_step = make_step(False), make_step(True)
+    for _ in range(3):
+        params, batch_stats, opt_state, loss = coarse_step(
+            params, batch_stats, opt_state)
+        assert np.isfinite(float(loss))
+    flow_params_before = jax.tree.map(lambda x: x.copy(), params["flow_head"])
+    losses = []
+    for _ in range(5):
+        params, batch_stats, opt_state, loss = flow_step(
+            params, batch_stats, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # The flow branch actually trains once enabled.
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        flow_params_before, params["flow_head"]))
+    assert max(moved) > 0.0
+
+
 def test_point_mvsnet_trains(point_batch):
     imgs, intr, extr, ds, di, gt = point_batch
     model = PointMVSNet(flow_scales=(0.125, 0.25), inter_scales=(0.75, 0.375))
