@@ -116,14 +116,18 @@ class PointMVSNet(nn.Module):
         prob = jax.nn.softmax(-score.astype(jnp.float32), axis=1)  # (B, D, fh, fw)
         depth = jnp.sum(prob * depth_ladder[:, :, None, None], axis=1)  # (B, fh, fw)
 
-        # 2-tap probability map at the regressed hypothesis index.
+        # 2-tap probability map at the regressed hypothesis index. Gather-free
+        # (see ops.regression.photometric_confidence): sum under equality
+        # masks rather than take_along_axis, which serializes on TPU.
         idx = (depth - depth_start[:, None, None]) / depth_interval[:, None, None]
         lo = jnp.clip(jnp.floor(idx), 0, num_depth - 1).astype(jnp.int32)
         hi = jnp.clip(jnp.ceil(idx), 0, num_depth - 1).astype(jnp.int32)
-        prob_map = (
-            jnp.take_along_axis(prob, lo[:, None], axis=1)
-            + jnp.take_along_axis(prob, hi[:, None], axis=1)
-        )[:, 0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+        prob_map = jnp.sum(
+            prob * ((iota == lo[:, None]).astype(prob.dtype)
+                    + (iota == hi[:, None]).astype(prob.dtype)),
+            axis=1,
+        )
 
         preds = {
             "coarse_depth": depth,

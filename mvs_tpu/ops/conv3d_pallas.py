@@ -119,30 +119,60 @@ def fold_conv3d_weights(w: np.ndarray | jnp.ndarray, f: int) -> jnp.ndarray:
 
 
 def _conv_kernel(xp_ref, w_ref, sc_ref, sh_ref, out_ref, xs_ref, acc_ref,
-                 sem, *, bd, bh, wf, l_in, relu, out_dtype):
+                 sems, *, bd, bh, wf, l_in, relu, out_dtype, gd, gh, total):
     # Grid is (batch, depth tiles, height tiles). Batch rides the grid so the
     # pl.ANY input keeps a trivial index_map (Mosaic requires it); the halo
-    # block for volume k is sliced out by this manual DMA instead.
+    # block for volume k is sliced out by a manual DMA instead.
+    #
+    # The halo DMA is DOUBLE-BUFFERED: grid steps run sequentially on a core
+    # and scratch persists across them, so each step (a) starts the NEXT
+    # step's halo copy into the other slot, then (b) waits on its own copy
+    # (started by the previous step) and runs the 27 tap matmuls. The HBM
+    # read of block t+1 thus overlaps the MXU work of block t — the blocking
+    # start+wait in the round-2 version serialized them, which is exactly
+    # why it lost its A/B against XLA conv.
     k = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        xp_ref.at[k, pl.ds(i * bd, bd + 2), pl.ds(j * bh, bh + 2)],
-        xs_ref,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    t = (k * gd + i) * gh + j
+    slot = jax.lax.rem(t, 2)
+    nslot = jax.lax.rem(t + 1, 2)
+
+    def halo_dma(s, kk, ii, jj):
+        return pltpu.make_async_copy(
+            xp_ref.at[kk, pl.ds(ii * bd, bd + 2), pl.ds(jj * bh, bh + 2)],
+            xs_ref.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        halo_dma(slot, k, i, j).start()
+
+    # Grid coordinates of step t+1 (row-major carry; carry_i implies carry_j).
+    jn = j + 1
+    carry_j = jn == gh
+    jn = jnp.where(carry_j, 0, jn)
+    i_n = jnp.where(carry_j, i + 1, i)
+    carry_i = i_n == gd
+    i_n = jnp.where(carry_i, 0, i_n)
+    k_n = jnp.where(carry_j & carry_i, k + 1, k)
+
+    @pl.when(t + 1 < total)
+    def _():
+        halo_dma(nslot, k_n, i_n, jn).start()
+
+    halo_dma(slot, k, i, j).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for dz in range(3):
         for dy in range(3):
             for dwf in range(3):
-                t = dz * 9 + dy * 3 + dwf
-                xt = xs_ref[dz:dz + bd, dy:dy + bh, dwf:dwf + wf, :]
+                tap = dz * 9 + dy * 3 + dwf
+                xt = xs_ref[slot, dz:dz + bd, dy:dy + bh, dwf:dwf + wf, :]
                 xm = xt.reshape(bd * bh * wf, l_in)
                 acc_ref[...] += jnp.dot(
-                    xm, w_ref[t], preferred_element_type=jnp.float32
+                    xm, w_ref[tap], preferred_element_type=jnp.float32
                 )
 
     y = acc_ref[...] * sc_ref[...] + sh_ref[...]
@@ -169,7 +199,8 @@ def _kernel_vmem_bytes(bd, bh, wf, wfp, l_in, l_out, itemsize):
     # to 128 and the second-minor to 8 when sizing actual VMEM footprint.
     r8 = lambda n: -(-n // 8) * 8
     r128 = lambda n: -(-n // 128) * 128
-    xs = (bd + 2) * (bh + 2) * r8(wfp) * r128(l_in) * itemsize  # halo scratch
+    # Two halo slots: the DMA for block t+1 fills one while block t computes.
+    xs = 2 * (bd + 2) * (bh + 2) * r8(wfp) * r128(l_in) * itemsize
     acc = r8(bd * bh * wf) * r128(l_out) * 4                    # f32 accumulator
     out = bd * bh * r8(wf) * r128(l_out) * itemsize * 2         # double-buffered out
     taps = 27 * r8(l_in) * r128(l_out) * itemsize
@@ -221,7 +252,8 @@ def conv3d_lane_folded(xf, w_taps, scale, shift, *, relu=False,
 
     kernel = functools.partial(
         _conv_kernel, bd=bd, bh=bh, wf=wf, l_in=l_in, relu=relu,
-        out_dtype=xf.dtype,
+        out_dtype=xf.dtype, gd=d // bd, gh=h // bh,
+        total=b * (d // bd) * (h // bh),
     )
     flops = 27 * b * d * h * wf * l_in * l_out * 2
     return pl.pallas_call(
@@ -239,9 +271,9 @@ def conv3d_lane_folded(xf, w_taps, scale, shift, *, relu=False,
         ),
         out_shape=jax.ShapeDtypeStruct((b, d, h, wf, l_out), xf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, wfp, l_in), xf.dtype),
+            pltpu.VMEM((2, bd + 2, bh + 2, wfp, l_in), xf.dtype),
             pltpu.VMEM((bd * bh * wf, l_out), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

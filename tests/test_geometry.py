@@ -119,6 +119,32 @@ def test_depth_regression_softargmin():
     assert np.all(np.asarray(conf) >= 0) and np.all(np.asarray(conf) <= 1 + 1e-5)
 
 
+def test_photometric_confidence_four_tap_semantics():
+    """The gather-free mask formulation == the reference's 4-tap
+    avg_pool+gather trick (MVSNet/models/mvsnet.py:187-191): window
+    {i-1, i, i+1, i+2} for i = floor of the clipped index, truncated at the
+    volume edges."""
+    from mvs_tpu.ops.regression import photometric_confidence
+
+    rng = np.random.default_rng(0)
+    d, h, w = 9, 5, 7
+    prob = rng.random((d, h, w)).astype(np.float32)
+    prob /= prob.sum(axis=0, keepdims=True)
+    # Indices spanning interior and both edges (incl. out-of-range floats).
+    index = rng.uniform(-1.0, d + 1.0, (h, w)).astype(np.float32)
+
+    got = np.asarray(photometric_confidence(jnp.asarray(prob), jnp.asarray(index)))
+
+    idx = np.clip(index, 0, d - 1).astype(np.int32)
+    want = np.zeros((h, w), np.float32)
+    for tap in (-1, 0, 1, 2):
+        t = idx + tap
+        valid = (t >= 0) & (t < d)
+        tc = np.clip(t, 0, d - 1)
+        want += np.take_along_axis(prob, tc[None], axis=0)[0] * valid
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_depth_regression_shapes():
     prob = jnp.full((4, 5, 6), 0.25)
     d = depth_regression(prob, jnp.asarray([1.0, 2.0, 3.0, 4.0]))
