@@ -1,5 +1,6 @@
 import time, functools
 import jax, jax.numpy as jnp, numpy as np
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from mvs_tpu.ops.conv3d_pallas import conv3d_folded, fold_factor
 
 def sync(o): return np.asarray(o.ravel()[:4].astype(jnp.float32)).sum()

@@ -1,5 +1,6 @@
 import os, sys, time
 import jax, jax.numpy as jnp, numpy as np
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from mvs_tpu.nn.cost_reg import UNetCostRegNet
 
 def sync(o): return np.asarray(o.ravel()[:4].astype(jnp.float32)).sum()

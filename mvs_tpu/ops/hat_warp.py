@@ -55,6 +55,31 @@ def _hat(dist):
     return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
 
 
+def _row_affine_fit(xs, ys, vf):
+    """Per-row weighted least-squares line ys ~ a*xs + c over valid samples.
+
+    xs/ys/vf (..., N) -> a, c with trailing dim reduced. All f32, O(N) —
+    replaces the O(N*W) HIGHEST-precision inverse-hat interpolation as the
+    carrier of the (large) absolute row coordinate; the interpolation then
+    only transports the (small) residual, where bf16 MXU matmuls are
+    effectively exact (8-bit-mantissa products accumulate in f32 without
+    rounding, so the only error is the 2^-9 input quantization of a
+    few-pixel residual ~ 1e-2 px).
+    """
+    sw = jnp.sum(vf, axis=-1)
+    swx = jnp.sum(vf * xs, axis=-1)
+    swy = jnp.sum(vf * ys, axis=-1)
+    swxx = jnp.sum(vf * xs * xs, axis=-1)
+    swxy = jnp.sum(vf * xs * ys, axis=-1)
+    det = sw * swxx - swx * swx
+    # Degenerate rows (<2 distinct valid samples): horizontal line through
+    # the weighted mean (a=0); fully invalid rows: height 0 (masked anyway).
+    safe_det = jnp.where(det > 1e-3, det, 1.0)
+    a = jnp.where(det > 1e-3, (sw * swxy - swx * swy) / safe_det, 0.0)
+    c = (swy - a * swx) / jnp.maximum(sw, 1e-6)
+    return a, c
+
+
 def _warp_rows(src, coords, iota_x, iota_r, wdtype):
     """Two-pass hat warp of a row-chunk. src (H, W, C); coords (R, Wo, 2)
     (R = chunked rows, possibly multiple depth planes' rows flattened)
@@ -66,24 +91,30 @@ def _warp_rows(src, coords, iota_x, iota_r, wdtype):
     valid = (xs > -1.0) & (xs < w) & (ys > -1.0) & (ys < h)
     vf = valid.astype(jnp.float32)
 
-    # 1. row-curve height at integer source columns (normalized inverse hats).
-    hat_inv = _hat(xs[..., None] - iota_x) * vf[..., None]  # (R, Wo, W)
-    denom = jnp.sum(hat_inv, axis=-2)  # (R, W)
-    # HIGHEST precision: heights are row coordinates in pixels; the default
-    # TPU f32 matmul precision (bf16 passes) would quantize them by ~eps*H px.
-    height = jnp.einsum("rox,ro->rx", hat_inv, ys,
-                        precision=jax.lax.Precision.HIGHEST)
-    height = height / jnp.maximum(denom, 1e-6)
-    covered = (denom > 1e-6).astype(jnp.float32)
+    # 1. row-curve height at integer source columns. A per-row affine fit
+    # (f32, O(Wo)) carries the absolute row coordinate — exact for shared-
+    # depth planes, whose rows map to exact lines under the homography — and
+    # the hats transport only the small residual via one bf16 MXU matmul
+    # (see _row_affine_fit). This replaces the HIGHEST-precision f32 einsum
+    # that dominated the warp's device time.
+    a, cc = _row_affine_fit(xs, ys, vf)  # (R,), (R,)
+    rho = (ys - (a[:, None] * xs + cc[:, None])) * vf  # (R, Wo) small
+    hat_b = (_hat(xs[..., None] - iota_x) * vf[..., None]).astype(wdtype)
+    rhs = jnp.stack([rho, vf], axis=-1).astype(wdtype)  # (R, Wo, 2)
+    nd = jnp.einsum("rox,rot->rxt", hat_b, rhs,
+                    preferred_element_type=jnp.float32)  # (R, W, 2)
+    denom = nd[..., 1]
+    corr = nd[..., 0] / jnp.maximum(denom, 1e-6)
+    height = a[:, None] * iota_x[None, :] + cc[:, None] + corr  # (R, W)
+    covered = (denom > 1e-3).astype(jnp.float32)
 
     # 2. vertical pass (contract source rows).
     wv = (_hat(height[..., None] - iota_r) * covered[..., None]).astype(wdtype)
     tmp = jnp.einsum("rxh,hxc->rxc", wv, src.astype(wdtype),
                      preferred_element_type=jnp.float32)  # (R, W, C)
 
-    # 3. horizontal pass (contract source columns).
-    wh = (hat_inv).astype(wdtype)  # same hats, reused
-    out = jnp.einsum("rox,rxc->roc", wh, tmp.astype(wdtype),
+    # 3. horizontal pass (contract source columns, same hats reused).
+    out = jnp.einsum("rox,rxc->roc", hat_b, tmp.astype(wdtype),
                      preferred_element_type=jnp.float32)
     return out.astype(cdtype)
 
@@ -152,25 +183,35 @@ def fused_variance_volume_hat(
         chunks, total = _chunk_coords(coords, rows_per_chunk)
         per_view.append(chunks)
     all_chunks = jnp.stack(per_view, axis=1)  # (n_chunks, V, R, Wo, 2)
+    n_chunks = all_chunks.shape[0]
+    # Hoist the per-view feature slices out of the loop body: indexing
+    # src_feats[v] inside chunk_fn re-materializes every view's full feature
+    # map once per while iteration (XLA does not hoist the slice out of the
+    # lax.map while loop — measured ~54 ms/step at CasMVSNet stage 3).
+    src_list = [src_feats[v] for v in range(nv)]
+    # The chunk's ref-feature rows: chunk i covers flat rows [i*R, i*R+R) of
+    # the (D*H) plane-major row space; ref row = flat % H. Gathering the
+    # R-row slice per chunk keeps the variance computation INSIDE the loop,
+    # so the loop emits the bf16 volume directly instead of carrying two
+    # full-size f32 moment stacks through HBM (4x the write traffic).
+    flat_rows = jnp.arange(n_chunks * rows_per_chunk, dtype=jnp.int32)
+    ref_rows = (flat_rows % h).reshape(n_chunks, rows_per_chunk)
 
-    def chunk_fn(chunk_coords):  # (V, R, Wo, 2)
-        sum_f = jnp.zeros((rows_per_chunk, w, c), jnp.float32)
-        sum_sq = jnp.zeros_like(sum_f)
+    def chunk_fn(args):
+        chunk_coords, rows = args  # (V, R, Wo, 2), (R,)
+        ref_rows_f = jnp.take(ref_feat, rows, axis=0).astype(jnp.float32)
+        sum_f = ref_rows_f
+        sum_sq = ref_rows_f * ref_rows_f
         for v in range(nv):
-            warped = _warp_rows(src_feats[v], chunk_coords[v], iota_x, iota_r,
+            warped = _warp_rows(src_list[v], chunk_coords[v], iota_x, iota_r,
                                 wdtype).astype(jnp.float32)
             sum_f = sum_f + warped
             sum_sq = sum_sq + warped * warped
-        return sum_f, sum_sq
+        mean = sum_f / num_views
+        return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype)
 
-    sum_f, sum_sq = jax.lax.map(chunk_fn, all_chunks)
-    sum_f = sum_f.reshape(-1, w, c)[:total].reshape(d, h, w, c)
-    sum_sq = sum_sq.reshape(-1, w, c)[:total].reshape(d, h, w, c)
-    ref_volume = ref_feat[None].astype(jnp.float32)
-    sum_f = sum_f + ref_volume
-    sum_sq = sum_sq + ref_volume * ref_volume
-    mean = sum_f / num_views
-    return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype)
+    var = jax.lax.map(chunk_fn, (all_chunks, ref_rows))
+    return var.reshape(-1, w, c)[:total].reshape(d, h, w, c)
 
 
 # ---------------------------------------------------------------------------
@@ -248,20 +289,30 @@ def _warp_tile_banded(src, xs, ys, valid, band_h, band_w, wdtype):
     iota_bw = jnp.arange(band_w, dtype=jnp.float32)
     iota_bh = jnp.arange(band_h, dtype=jnp.float32)
 
-    # Horizontal hats vs the band columns: (Rf, TW, BW).
-    hat_x = _hat(xs_f[..., None] - (x0.astype(jnp.float32) + iota_bw)) * vf[..., None]
-
-    # Row-curve height at the band's integer columns (normalized inverse
-    # hats). Heights are interpolated RELATIVE to the band start and the
-    # numerator matmul runs at HIGHEST precision: heights are sample
-    # positions in pixels, and the default TPU f32 matmul precision (bf16
-    # passes) would quantize absolute row coordinates by multiple pixels.
-    denom = jnp.sum(hat_x, axis=-2)  # (Rf, BW)
+    # Band-relative sample coordinates (small magnitudes keep every
+    # downstream f32 product well-conditioned).
+    xs_rel = xs_f - x0.astype(jnp.float32)
     ys_rel = ys_f - y0.astype(jnp.float32)
-    num = jnp.einsum("rob,ro->rb", hat_x, ys_rel,
-                     precision=jax.lax.Precision.HIGHEST)  # (Rf, BW)
-    height = num / jnp.maximum(denom, 1e-6)  # band-relative
-    covered = (denom > 1e-6).astype(jnp.float32)
+
+    # Horizontal hats vs the band columns, built once in the matmul dtype:
+    # (Rf, TW, BW).
+    hat_x = (_hat(xs_rel[..., None] - iota_bw) * vf[..., None]).astype(wdtype)
+
+    # Row-curve height at the band's integer columns: per-row affine fit in
+    # f32 carries the absolute coordinate (exact for shared-depth rows); the
+    # hats transport only the few-pixel residual through one bf16 MXU matmul
+    # — effectively exact (f32 accumulation; see _row_affine_fit) and ~15x
+    # cheaper than the HIGHEST-precision f32 einsum it replaces, which was
+    # the single largest device-time item of the whole cascade forward.
+    a, cc = _row_affine_fit(xs_rel, ys_rel, vf)  # (Rf,), (Rf,)
+    rho = (ys_rel - (a[:, None] * xs_rel + cc[:, None])) * vf  # (Rf, TW)
+    rhs = jnp.stack([rho, vf], axis=-1).astype(wdtype)  # (Rf, TW, 2)
+    nd = jnp.einsum("rob,rot->rbt", hat_x, rhs,
+                    preferred_element_type=jnp.float32)  # (Rf, BW, 2)
+    denom = nd[..., 1]
+    corr = nd[..., 0] / jnp.maximum(denom, 1e-6)
+    height = a[:, None] * iota_bw[None, :] + cc[:, None] + corr  # band-rel
+    covered = (denom > 1e-3).astype(jnp.float32)
 
     # Vertical pass against the banded source window.
     src_band = jax.lax.dynamic_slice(src, (y0, x0, 0), (band_h, band_w, c))
@@ -271,7 +322,7 @@ def _warp_tile_banded(src, xs, ys, valid, band_h, band_w, wdtype):
                      preferred_element_type=jnp.float32)  # (Rf, BW, C)
 
     # Horizontal pass.
-    out = jnp.einsum("rob,rbc->roc", hat_x.astype(wdtype), tmp.astype(wdtype),
+    out = jnp.einsum("rob,rbc->roc", hat_x, tmp.astype(wdtype),
                      preferred_element_type=jnp.float32)
     return out.reshape(*lead, tw, c), off_count
 
@@ -374,6 +425,10 @@ def fused_variance_volume_banded(
     transes = rel_projs[:, :3, 3]
 
     ref_pad = _pad_to(_pad_to(ref_feat, 0, tile_rows), 1, tile_cols)
+    # Hoisted per-view slices: indexing src_feats[v] inside tile_fn makes XLA
+    # re-materialize every view's full feature map once per while iteration
+    # (not hoisted out of the lax.map loop; ~54 ms/step at CasMVSNet stage 3).
+    src_list = [src_feats[v] for v in range(nv)]
 
     def tile_fn(args):
         origin, depth_tile = args  # (2,), (g, R, TW) or (g, 1, 1)
@@ -407,7 +462,7 @@ def fused_variance_volume_banded(
             valid = (pos & (xs > -1.0) & (xs < w) & (ys > -1.0) & (ys < h)
                      & in_img[None])
             warped, off = _warp_tile_banded(
-                src_feats[v], xs, ys, valid, band_h, band_w, wdtype
+                src_list[v], xs, ys, valid, band_h, band_w, wdtype
             )  # (g, R, TW, C)
             off_total = off_total + off
             warped = warped.astype(jnp.float32)
