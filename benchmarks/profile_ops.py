@@ -54,6 +54,9 @@ variables = jax.jit(model.init, static_argnames=("train",))(
     depth_values[:1], train=False)
 
 forward = make_apply_fn(model)
+hlo_txt = forward.lower(variables, imgs, proj, depth_values).compile().as_text()
+with open("/tmp/cas_fwd_hlo.txt", "w") as f:
+    f.write(hlo_txt)
 out = forward(variables, imgs, proj, depth_values)
 jax.block_until_ready(out)
 
@@ -72,6 +75,32 @@ total = sum(r["time_ms"] for r in ops.values())
 print(f"total device op time: {total:.1f} ms over {steps} steps "
       f"({total/steps:.1f} ms/step)")
 print(f"{'ms/step':>9}  {'%':>5}  {'count':>6}  op")
-for name, rec in sorted(ops.items(), key=lambda kv: -kv[1]["time_ms"])[:40]:
+for name, rec in sorted(ops.items(), key=lambda kv: -kv[1]["time_ms"])[:30]:
     ms = rec["time_ms"] / steps
     print(f"{ms:9.2f}  {100*rec['time_ms']/total:5.1f}  {rec['count']:6d}  {name[:110]}")
+
+# ---- attribute to source lines via HLO metadata ----
+import re
+from collections import defaultdict
+
+meta = {}
+for m in re.finditer(r'%([\w.\-]+) = .*?metadata=\{([^}]*)\}', hlo_txt):
+    name, md = m.group(1), m.group(2)
+    src = re.search(r'source_file="([^"]+)"', md)
+    line = re.search(r'source_line=(\d+)', md)
+    key = (f"{src.group(1).split('/')[-1]}:{line.group(1)}" if src and line
+           else "?")
+    opn = re.search(r'op_name="([^"]+)"', md)
+    meta[name] = (key, opn.group(1) if opn else "")
+
+agg = defaultdict(lambda: [0.0, 0, set()])
+for name, rec in ops.items():
+    base = name.split(" ")[0].lstrip("%")
+    key, opn = meta.get(base, ("<no-metadata(incl. while shells)>", ""))
+    a = agg[key]
+    a[0] += rec["time_ms"]
+    a[1] += rec["count"]
+    a[2].add(opn.split("/")[-1][:40])
+print("\nby source line (while-loop shells double-count their bodies):")
+for key, (t, cnt, opns) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:30]:
+    print(f"{t/steps:8.2f} {100*t/total:5.1f}%  {key:28s} {sorted(opns)[:3]}")

@@ -13,13 +13,76 @@ alternative (normalization='group').
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ConvBlock", "ConvTransposeBlock", "FusedConvBlock3D", "Norm"]
+__all__ = ["ConvBlock", "ConvTransposeBlock", "FusedConvBlock3D", "Norm",
+           "FoldedConv", "FoldedConvTranspose"]
+
+
+class FoldedConv(nn.Module):
+    """Drop-in for nn.Conv(SAME) that runs the lane-folded TPU fast path.
+
+    Small-channel convs on TPU waste most of the 128-wide lane dimension;
+    ops.folded_conv reshapes F spatial columns into channels so the conv
+    runs at full lane width (see that module's docstring). Parameter layout
+    and initializers match nn.Conv ('kernel' DHWIO/HWIO, optional 'bias'),
+    so swapping modules preserves checkpoint schemas up to the scope name.
+    Odd kernels, uniform stride 1 or 2, padding SAME (flax geometry).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from mvs_tpu.ops.folded_conv import conv_folded
+
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, c_in, self.features), jnp.float32)
+        scale = shift = None
+        if self.use_bias:
+            scale = jnp.ones((self.features,), jnp.float32)
+            shift = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        cd = self.dtype or x.dtype
+        return conv_folded(x.astype(cd), kernel, scale, shift,
+                           strides=self.strides)
+
+
+class FoldedConvTranspose(nn.Module):
+    """Drop-in for nn.ConvTranspose(kernel 3, stride 2, SAME) on the
+    lane-folded TPU fast path; parameter layout matches nn.ConvTranspose."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    use_bias: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from mvs_tpu.ops.folded_conv import conv_transpose_folded2
+
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, c_in, self.features), jnp.float32)
+        scale = shift = None
+        if self.use_bias:
+            scale = jnp.ones((self.features,), jnp.float32)
+            shift = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        cd = self.dtype or x.dtype
+        return conv_transpose_folded2(x.astype(cd), kernel, scale, shift)
 
 
 class Norm(nn.Module):
@@ -106,14 +169,20 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=self.strides,
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )(x)
+        ks = tuple(self.kernel_size)
+        strides = self.strides
+        uniform = (isinstance(strides, int)
+                   or len(set(strides)) == 1) and all(k % 2 for k in ks)
+        s = strides if isinstance(strides, int) else strides[0]
+        if uniform and s in (1, 2):
+            # Lane-folded fast path (identical math; see ops.folded_conv).
+            x = FoldedConv(self.features, ks, strides=s,
+                           use_bias=self.use_bias, dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(
+                self.features, kernel_size=ks, strides=self.strides,
+                padding="SAME", use_bias=self.use_bias, dtype=self.dtype,
+            )(x)
         x = Norm(self.normalization, self.axis_name)(x, train)
         if self.relu:
             x = nn.relu(x)
@@ -177,14 +246,29 @@ class FusedConvBlock3D(nn.Module):
                 return (jnp.where(never, 0.0, ra_mean.value / denom),
                         jnp.where(never, 1.0, ra_var.value / denom))
 
+        from mvs_tpu.ops.folded_conv import conv_folded
+
         f = fold_factor(c_in, c_out)
-        foldable = f >= 2 and x.shape[3] % f == 0
-        if train or not foldable:
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
-            y = jax.lax.conv_general_dilated(
-                x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
-                dimension_numbers=dn, preferred_element_type=jnp.float32)
+        # The Pallas kernel is opt-in for A/B runs (MVS_TPU_PALLAS_CONV3D=1);
+        # the default fast path is the lane-folded XLA conv (conv_folded),
+        # which measured faster end-to-end than both the Pallas kernel and
+        # the plain lane-padded conv.
+        pallas = os.environ.get("MVS_TPU_PALLAS_CONV3D", "0") == "1"
+        pallas_ok = pallas and f >= 2 and x.shape[3] % f == 0
+        if train or not pallas_ok:
+            if not train:
+                # Inference: fold the norm into a per-channel affine and fuse
+                # it (+ReLU) into the folded conv's epilogue.
+                if use_bn:
+                    mean, var = read_stats()
+                    scale = gamma * jax.lax.rsqrt(var + self.epsilon)
+                    shift = beta - mean * scale
+                else:
+                    scale = shift = None
+                return conv_folded(x, kernel.astype(x.dtype), scale, shift,
+                                   relu=self.relu)
+            y = conv_folded(x, kernel.astype(x.dtype),
+                            out_dtype=jnp.float32)
             if use_bn:
                 if train:
                     mean = jnp.mean(y, axis=(0, 1, 2, 3))
@@ -244,14 +328,15 @@ class ConvTransposeBlock(nn.Module):
         strides = self.strides
         if isinstance(strides, int):
             strides = (strides,) * len(self.kernel_size)
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=strides,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        ks = tuple(self.kernel_size)
+        if set(strides) == {2} and set(ks) == {3}:
+            # Lane-folded fast path (identical math; see ops.folded_conv).
+            x = FoldedConvTranspose(self.features, ks, dtype=self.dtype)(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features, kernel_size=ks, strides=strides,
+                padding="SAME", use_bias=False, dtype=self.dtype,
+            )(x)
         x = Norm(self.normalization, self.axis_name)(x, train)
         if self.relu:
             x = nn.relu(x)

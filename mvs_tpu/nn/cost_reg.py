@@ -17,7 +17,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock, FusedConvBlock3D
+from mvs_tpu.nn.blocks import (ConvBlock, ConvTransposeBlock, FoldedConv,
+                               FusedConvBlock3D)
 
 __all__ = ["UNetCostRegNet", "PyramidCostRegNet"]
 
@@ -65,7 +66,7 @@ class UNetCostRegNet(nn.Module):
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(x, train)
         x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
         # Final plain conv to a single score channel.
-        score = nn.Conv(1, _K3, padding="SAME", dtype=self.dtype)(x)
+        score = FoldedConv(1, _K3, dtype=self.dtype)(x)
         return score[..., 0]
 
 
@@ -98,5 +99,5 @@ class PyramidCostRegNet(nn.Module):
         # Channel-halving "transpose" at stride 1, then a true 2x upsample.
         x = conv2 + ConvTransposeBlock(b * 2, _K3, strides=1, **kw)(conv4, train)
         x = conv0 + ConvTransposeBlock(b, _K3, strides=2, **kw)(x, train)
-        score = nn.Conv(1, _K3, padding="SAME", dtype=self.dtype)(x)
+        score = FoldedConv(1, _K3, dtype=self.dtype)(x)
         return score[..., 0]

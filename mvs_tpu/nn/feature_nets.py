@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mvs_tpu.nn.blocks import ConvBlock
+from mvs_tpu.nn.blocks import ConvBlock, FoldedConv
 
 __all__ = [
     "MVSNetFeatureNet",
@@ -50,7 +50,7 @@ class MVSNetFeatureNet(nn.Module):
         x = ConvBlock(b * 4, (5, 5), strides=2, **kw)(x, train)
         x = ConvBlock(b * 4, (3, 3), **kw)(x, train)
         # Final projection: plain conv, no norm/relu.
-        return nn.Conv(b * 4, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        return FoldedConv(b * 4, (3, 3), dtype=self.dtype)(x)
 
 
 def _upsample2x_nearest(x):
@@ -99,22 +99,22 @@ class CascadeFeatureNet(nn.Module):
         conv2 = ConvBlock(b * 4, (3, 3), **kw)(conv2, train)
         conv2 = ConvBlock(b * 4, (3, 3), **kw)(conv2, train)
 
-        outputs = {"stage1": nn.Conv(b * 4, (1, 1), use_bias=False,
-                                     dtype=self.dtype)(conv2)}
+        outputs = {"stage1": FoldedConv(b * 4, (1, 1), use_bias=False,
+                                         dtype=self.dtype)(conv2)}
         if self.num_stages == 1:
             return outputs
 
         if self.arch_mode == "fpn":
             final = b * 4
-            intra = _upsample2x_nearest(conv2) + nn.Conv(
+            intra = _upsample2x_nearest(conv2) + FoldedConv(
                 final, (1, 1), dtype=self.dtype)(conv1)
-            outputs["stage2"] = nn.Conv(b * 2, (3, 3), padding="SAME",
-                                        use_bias=False, dtype=self.dtype)(intra)
+            outputs["stage2"] = FoldedConv(b * 2, (3, 3), use_bias=False,
+                                           dtype=self.dtype)(intra)
             if self.num_stages == 3:
-                intra = _upsample2x_nearest(intra) + nn.Conv(
+                intra = _upsample2x_nearest(intra) + FoldedConv(
                     final, (1, 1), dtype=self.dtype)(conv0)
-                outputs["stage3"] = nn.Conv(b, (3, 3), padding="SAME",
-                                            use_bias=False, dtype=self.dtype)(intra)
+                outputs["stage3"] = FoldedConv(b, (3, 3), use_bias=False,
+                                               dtype=self.dtype)(intra)
         elif self.arch_mode == "unet":
             up = nn.ConvTranspose(b * 2, (3, 3), strides=(2, 2), padding="SAME",
                                   use_bias=False, dtype=self.dtype)(conv2)

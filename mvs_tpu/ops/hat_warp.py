@@ -176,41 +176,63 @@ def fused_variance_volume_hat(
     iota_x = jnp.arange(w, dtype=jnp.float32)
     iota_r = jnp.arange(h, dtype=jnp.float32)
 
-    per_view = []
     total = d * h
-    for v in range(nv):
-        coords = plane_sweep_coords(rel_projs[v], depth_values, h, w)
-        chunks, total = _chunk_coords(coords, rows_per_chunk)
-        per_view.append(chunks)
-    all_chunks = jnp.stack(per_view, axis=1)  # (n_chunks, V, R, Wo, 2)
-    n_chunks = all_chunks.shape[0]
-    # Hoist the per-view feature slices out of the loop body: indexing
-    # src_feats[v] inside chunk_fn re-materializes every view's full feature
-    # map once per while iteration (XLA does not hoist the slice out of the
-    # lax.map while loop — measured ~54 ms/step at CasMVSNet stage 3).
+    n_chunks = -(-total // rows_per_chunk)
+    pad_rows = n_chunks * rows_per_chunk - total
+    # Chunk i covers flat rows [i*R, i*R+R) of the (D*H) plane-major row
+    # space: image row = flat % H, plane = flat // H. Coordinates are
+    # computed INSIDE the loop from (rows, depth) — precomputing a
+    # (D*H, V, W, 2) coords array cost ~50 MB of HBM round-trips plus
+    # per-iteration staging copies at CasMVSNet stage 1. Arithmetic order
+    # matches geometry.homography.plane_sweep_coords exactly (einsum then
+    # mul-add) so all sampler paths share f32 rounding.
+    flat = jnp.arange(n_chunks * rows_per_chunk, dtype=jnp.int32)
+    row_idx = (flat % h).reshape(n_chunks, rows_per_chunk)
+    if depth_values.ndim == 1:
+        dep_flat = jnp.broadcast_to(depth_values[:, None], (d, h)).reshape(-1)
+        dep_flat = jnp.pad(dep_flat, (0, pad_rows))
+        dep_chunks = dep_flat.reshape(n_chunks, rows_per_chunk)[..., None]
+    else:  # (D, H, W) per-pixel hypotheses
+        dep_flat = depth_values.reshape(d * h, w)
+        dep_flat = jnp.pad(dep_flat, ((0, pad_rows), (0, 0)))
+        dep_chunks = dep_flat.reshape(n_chunks, rows_per_chunk, w)
+
+    rots = rel_projs[:, :3, :3]
+    transes = rel_projs[:, :3, 3]
+    # Hoisted per-view slices: indexing src_feats[v] inside chunk_fn makes
+    # XLA re-materialize every view's full feature map per while iteration.
     src_list = [src_feats[v] for v in range(nv)]
-    # The chunk's ref-feature rows: chunk i covers flat rows [i*R, i*R+R) of
-    # the (D*H) plane-major row space; ref row = flat % H. Gathering the
-    # R-row slice per chunk keeps the variance computation INSIDE the loop,
-    # so the loop emits the bf16 volume directly instead of carrying two
-    # full-size f32 moment stacks through HBM (4x the write traffic).
-    flat_rows = jnp.arange(n_chunks * rows_per_chunk, dtype=jnp.int32)
-    ref_rows = (flat_rows % h).reshape(n_chunks, rows_per_chunk)
 
     def chunk_fn(args):
-        chunk_coords, rows = args  # (V, R, Wo, 2), (R,)
+        rows, dep = args  # (R,), (R, 1|W)
+        grid = jnp.stack([
+            jnp.broadcast_to(iota_x[None, :], (rows_per_chunk, w)),
+            jnp.broadcast_to(rows.astype(jnp.float32)[:, None],
+                             (rows_per_chunk, w)),
+            jnp.ones((rows_per_chunk, w), jnp.float32),
+        ])  # (3, R, W)
+        depb = jnp.broadcast_to(dep, (rows_per_chunk, w))
         ref_rows_f = jnp.take(ref_feat, rows, axis=0).astype(jnp.float32)
         sum_f = ref_rows_f
         sum_sq = ref_rows_f * ref_rows_f
         for v in range(nv):
-            warped = _warp_rows(src_list[v], chunk_coords[v], iota_x, iota_r,
-                                wdtype).astype(jnp.float32)
+            rot_xyz = jnp.einsum("ij,jrw->irw", rots[v], grid)
+            q = rot_xyz * depb[None] + transes[v][:, None, None]
+            qz = q[2]
+            pos = qz > 1e-3
+            safe_z = jnp.where(pos, qz, 1.0)
+            xs = jnp.where(pos, q[0] / safe_z, -2.0 * w)
+            ys = jnp.where(pos, q[1] / safe_z, -2.0 * h)
+            warped = _warp_rows(src_list[v], jnp.stack([xs, ys], -1),
+                                iota_x, iota_r, wdtype).astype(jnp.float32)
             sum_f = sum_f + warped
             sum_sq = sum_sq + warped * warped
+        # Variance computed in-loop: the loop emits the bf16 volume directly
+        # instead of carrying two full-size f32 moment stacks through HBM.
         mean = sum_f / num_views
         return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype)
 
-    var = jax.lax.map(chunk_fn, (all_chunks, ref_rows))
+    var = jax.lax.map(chunk_fn, (row_idx, dep_chunks))
     return var.reshape(-1, w, c)[:total].reshape(d, h, w, c)
 
 

@@ -84,11 +84,12 @@ def test_bn_recal_equal_weight_mean():
     count = float(bn["count"])
     denom = 1.0 - 0.9 ** count
     got_mean = np.asarray(bn["mean"]) / denom
-    conv = {"params": v["params"]["ConvBlock_0"]["Conv_0"]}
+    conv = {"params": v["params"]["ConvBlock_0"]["FoldedConv_0"]}
 
     def conv_out(xb):
-        return nn.Conv(8, (3, 3), padding="SAME", use_bias=False).apply(
-            conv, xb)
+        from mvs_tpu.nn.blocks import FoldedConv
+
+        return FoldedConv(8, (3, 3), use_bias=False).apply(conv, xb)
 
     want_mean = np.mean(
         [np.asarray(jnp.mean(conv_out(xb), axis=(0, 1, 2))) for xb in batches],
