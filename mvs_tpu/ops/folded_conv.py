@@ -114,38 +114,32 @@ def _plan(lead_kernel: tuple, kw: int, c_in: int, c_out: int, f_in: int,
     c_lo, c_hi = cells[0], cells[-1]
     n_cells = c_hi - c_lo + 1
 
-    lead = int(np.prod(lead_kernel, dtype=np.int64))
-    l_in, l_out = f_in * c_in, f_out * c_out
-    idx = np.zeros((lead, n_cells, l_in, l_out), np.int64)
-    mask = np.zeros((lead, n_cells, l_in, l_out), np.float32)
-    a = np.arange(c_in)[:, None]
-    b = np.arange(c_out)[None, :]
+    # One-hot shift tensor S[cell, dx, j, i]: the folded kernel is the
+    # Kronecker-style product wf[..., cell, j*Ci+a, i*Co+b] =
+    # sum_dx S[cell, dx, j, i] * w[..., dx, a, b] — a single tiny einsum at
+    # trace time. (A flat scalar gather here ran EVERY forward pass and
+    # cost ~40 ms/step across the ~30 conv layers of the cascade.)
+    shifts = np.zeros((n_cells, kw, f_in, f_out), np.float32)
     for i in range(f_out):
         for dx in range(kw):
             s = sub(i, dx)
             if s is None:
                 continue
             dwf, j = s
-            kc = dwf - c_lo
-            for ld in range(lead):
-                flat = ((ld * kw + dx) * c_in + a) * c_out + b
-                idx[ld, kc, j * c_in:(j + 1) * c_in,
-                    i * c_out:(i + 1) * c_out] = flat
-                mask[ld, kc, j * c_in:(j + 1) * c_in,
-                     i * c_out:(i + 1) * c_out] = 1.0
-    shape = (*lead_kernel, n_cells, l_in, l_out)
+            shifts[dwf - c_lo, dx, j, i] = 1.0
     s_f = 1 if transpose else stride * f_out // f_in
-    return idx.reshape(shape), mask.reshape(shape), (-c_lo, c_hi + 1 - s_f)
+    return shifts, (-c_lo, c_hi + 1 - s_f)
 
 
 def _fold_w(w, f_in, f_out, stride, p_lo, transpose=False):
     lead_kernel = tuple(int(k) for k in w.shape[:-3])
     kw = int(w.shape[-3])
     c_in, c_out = int(w.shape[-2]), int(w.shape[-1])
-    idx, mask, wpad = _plan(lead_kernel, kw, c_in, c_out, f_in, f_out,
-                            stride, p_lo, transpose)
-    wf = w.reshape(-1)[jnp.asarray(idx.reshape(-1))].reshape(idx.shape)
-    return wf * jnp.asarray(mask, w.dtype), wpad
+    shifts, wpad = _plan(lead_kernel, kw, c_in, c_out, f_in, f_out,
+                         stride, p_lo, transpose)
+    wf = jnp.einsum("ckfg,...kab->...cfagb", jnp.asarray(shifts, w.dtype), w)
+    return wf.reshape(*w.shape[:-3], shifts.shape[0],
+                      f_in * c_in, f_out * c_out), wpad
 
 
 def _conv(x, w, strides, padding, lhs_dilation=None):

@@ -369,6 +369,7 @@ def fused_variance_volume_banded(
     band_w: int = 192,
     depth_group: int | None = None,
     count_offband: bool = False,
+    tiles_per_step: int = 1,
 ) -> jnp.ndarray:
     """Banded tiled fused plane-sweep variance volume (D, H, W, C).
 
@@ -499,7 +500,22 @@ def fused_variance_volume_banded(
         mean = sum_f / num_views
         return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype), off_total
 
-    tiles, off_counts = jax.lax.map(tile_fn, (origins, dv))  # (N, g, R, TW, C)
+    if tiles_per_step > 1:
+        # Batch k tiles per while iteration: amortizes the loop's fixed
+        # slicing/update overhead over k tiles (vmap keeps each tile's own
+        # dynamic band window).
+        k = tiles_per_step
+        pad = (-n_tiles) % k
+        if pad:
+            origins = jnp.concatenate(
+                [origins, jnp.repeat(origins[-1:], pad, 0)])
+            dv = jnp.concatenate([dv, jnp.repeat(dv[-1:], pad, 0)])
+        o2 = origins.reshape(-1, k, 2)
+        d2 = dv.reshape(-1, k, *dv.shape[1:])
+        tiles, off_counts = jax.lax.map(jax.vmap(tile_fn), (o2, d2))
+        tiles = tiles.reshape(-1, *tiles.shape[2:])[:n_tiles]
+    else:
+        tiles, off_counts = jax.lax.map(tile_fn, (origins, dv))  # (N, g, R, TW, C)
     vol = tiles.reshape(d // g, nr, nc, g, tile_rows, tile_cols, c)
     vol = vol.transpose(0, 3, 1, 4, 2, 5, 6).reshape(d, hp, wp, c)
     vol = vol[:, :h, :w]
