@@ -88,10 +88,11 @@ def main():
     width = int(os.environ.get("BENCH_W", 1152))
     num_views = int(os.environ.get("BENCH_VIEWS", 5))
     iters = int(os.environ.get("BENCH_ITERS", 10))
-    # Per-chip serving throughput: batch=2 reference views per step keeps the
-    # MXU fed (46% over batch=1 on v5e); latency-sensitive callers can set
-    # BENCH_BATCH=1.
-    batch = int(os.environ.get("BENCH_BATCH", 2))
+    # Per-chip serving throughput: batch=6 reference views per step amortizes
+    # the warp loops' fixed per-iteration cost (tile counts don't grow with
+    # batch) — 5.79 vs 5.38 maps/s at batch=2 on v5e; batch=8 exceeds the
+    # 16 GB HBM at these shapes. Latency-sensitive callers set BENCH_BATCH=1.
+    batch = int(os.environ.get("BENCH_BATCH", 6))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
     sampler = os.environ.get("BENCH_SAMPLER", "hat")
     with_stages = os.environ.get("BENCH_STAGES", "1") == "1"
