@@ -28,7 +28,7 @@ from mvs_tpu.utils.synthetic import make_plane_scene
 from mvs_tpu.utils.xplane import load_op_summary
 
 steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-height, width, num_views, batch = 864, 1152, 5, 2
+height, width, num_views, batch = 864, 1152, 5, 6
 dtype = jnp.bfloat16
 sampler = os.environ.get("BENCH_SAMPLER", "hat")
 
