@@ -182,7 +182,13 @@ def main(argv=None):
     rng = jax.random.key(cfg.train.seed)
     _, (_, variables) = _init_task(task, model, rng, first)
 
-    ckpt = CheckpointManager(f"{cfg.train.log_dir}/ckpt")
+    # Retention keeps the top-k checkpoints by val abs-depth-error when a
+    # val split exists (reference MVSNet_pl/train.py:180-183 monitors
+    # val/loss; abs error is this repo's val headline metric).
+    ckpt = CheckpointManager(
+        f"{cfg.train.log_dir}/ckpt",
+        best_metric="abs_depth_error" if val_ds is not None else None,
+    )
     logger = ScalarLogger(cfg.train.log_dir)
 
     with jax.set_mesh(mesh):
@@ -261,20 +267,27 @@ def main(argv=None):
                     state = state.replace(batch_stats=jax.tree.map(
                         lambda a: a / n_acc, acc))
 
+            val_metrics = None
             if val_ds is not None:
                 val_loader = DataLoader(val_ds, cfg.data.batch_size, collate,
                                         shuffle=False,
                                         num_threads=cfg.data.num_threads)
                 vmeter = DictAverageMeter()
-                for batch in val_loader:
+                for bi, batch in enumerate(val_loader):
                     batch = shard_batch(mesh, batch)
                     _, vmetrics = _eval_metrics(task, state, batch)
                     vmeter.update({k: float(v) for k, v in vmetrics.items()})
-                logger.log(int(state.step), vmeter.mean(), prefix="val/")
-                print(f"epoch {epoch} val: {vmeter.mean()}")
+                    if bi == 0:
+                        # est | gt | error panel for the first val batch
+                        # (reference MVSNet/utils.py:74-104 image grids).
+                        _log_val_images(task, state, batch, logger,
+                                        int(state.step))
+                val_metrics = vmeter.mean()
+                logger.log(int(state.step), val_metrics, prefix="val/")
+                print(f"epoch {epoch} val: {val_metrics}")
 
             if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
-                ckpt.save(int(state.step), state)
+                ckpt.save(int(state.step), state, metrics=val_metrics)
     logger.close()
     ckpt.close()
 
@@ -304,6 +317,47 @@ def _init_task(task, model, rng, batch):
     else:
         raise TypeError(type(task))
     return None, (None, variables)
+
+
+def _summary_triplet(task, out, batch):
+    """(depth_est, depth_gt, mask) for sample 0 at matched resolution."""
+    import jax
+
+    from mvs_tpu.train.tasks import (
+        CascadeTask, MVSNetTask, PointTask, PyramidTask,
+    )
+
+    depth = out["depth"]
+    if isinstance(task, MVSNetTask):
+        return depth[0], batch["depth_gt"][0], batch["mask"][0]
+    if isinstance(task, CascadeTask):
+        last = f"stage{len(task.stage_weights)}"
+        return depth[0], batch["depth_gt"][last][0], batch["mask"][last][0]
+    if isinstance(task, PyramidTask):
+        return depth[0], batch["depth_gt_levels"][0][0], batch["mask_levels"][0][0]
+    if isinstance(task, PointTask):
+        gt = jax.image.resize(batch["depth_gt"], depth.shape, method="nearest")
+        return depth[0], gt[0], (gt[0] > 0).astype(depth.dtype)
+    raise TypeError(type(task))
+
+
+def _log_val_images(task, state, batch, logger, step):
+    """Render the est|gt|error panel for the first val sample. Never fatal:
+    visualization must not kill a training run."""
+    import numpy as np
+
+    from mvs_tpu.utils.vis import depth_image_summary
+
+    try:
+        out, _ = task.forward(state.params, state.batch_stats, batch,
+                              train=False)
+        est, gt, mask = _summary_triplet(task, out, batch)
+        est, gt, mask = (np.asarray(x, np.float32) for x in (est, gt, mask))
+        if (mask > 0.5).sum() == 0:
+            return
+        logger.log_image(step, "val/depth", depth_image_summary(est, gt, mask))
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"val image summary skipped: {e}")
 
 
 def _eval_metrics(task, state, batch):

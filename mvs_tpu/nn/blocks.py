@@ -176,8 +176,12 @@ class ConvBlock(nn.Module):
         s = strides if isinstance(strides, int) else strides[0]
         if uniform and s in (1, 2):
             # Lane-folded fast path (identical math; see ops.folded_conv).
+            # name='Conv_0' keeps the param path identical to the nn.Conv
+            # branch (and to pre-folded checkpoints): shapes/initializers
+            # already match, so restore works across the swap.
             x = FoldedConv(self.features, ks, strides=s,
-                           use_bias=self.use_bias, dtype=self.dtype)(x)
+                           use_bias=self.use_bias, dtype=self.dtype,
+                           name="Conv_0")(x)
         else:
             x = nn.Conv(
                 self.features, kernel_size=ks, strides=self.strides,
@@ -331,7 +335,10 @@ class ConvTransposeBlock(nn.Module):
         ks = tuple(self.kernel_size)
         if set(strides) == {2} and set(ks) == {3}:
             # Lane-folded fast path (identical math; see ops.folded_conv).
-            x = FoldedConvTranspose(self.features, ks, dtype=self.dtype)(x)
+            # name='ConvTranspose_0' preserves the nn.ConvTranspose param
+            # path so pre-folded checkpoints restore unchanged.
+            x = FoldedConvTranspose(self.features, ks, dtype=self.dtype,
+                                    name="ConvTranspose_0")(x)
         else:
             x = nn.ConvTranspose(
                 self.features, kernel_size=ks, strides=strides,

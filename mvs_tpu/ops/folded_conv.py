@@ -197,11 +197,8 @@ def conv_folded(x, w, scale=None, shift=None, *, strides=1, relu=False,
                 and (wdim // stride) % fo == 0)
 
     if not viable(f_in, f_out):
-        # The independently-packed folds don't divide this extent; retry
-        # with the tied fold (F_in = stride*F_out, folded W-stride 1).
-        fo = _pow2_floor(_LANES // max(c_in * stride, c_out))
-        f_in, f_out = fo * stride, fo
-    if not viable(f_in, f_out):
+        # The tied fold doesn't divide this W extent (or no fold fits):
+        # plain lax conv fallback, identical math.
         pads = lead_pads + [_pad_amounts(wdim, kw, stride, padding)]
         y = _conv(x, w, (stride,) * sdims, pads)
         return _epilogue(y, scale, shift, relu, odt)

@@ -66,17 +66,26 @@ def _row_affine_fit(xs, ys, vf):
     rounding, so the only error is the 2^-9 input quantization of a
     few-pixel residual ~ 1e-2 px).
     """
+    # Center at the weighted means before forming the normal equations: with
+    # raw absolute coordinates (up to W~1152) det = sw*swxx - swx^2 cancels
+    # catastrophically in f32 when the valid samples cluster far from x=0.
+    # Centered, the "det" is sw * sum(vf*dx^2) — a pure positive sum, no
+    # cancellation — and the degeneracy test becomes scale-free (weighted
+    # rms x-spread below ~0.03 px => treat as a horizontal line).
     sw = jnp.sum(vf, axis=-1)
-    swx = jnp.sum(vf * xs, axis=-1)
-    swy = jnp.sum(vf * ys, axis=-1)
-    swxx = jnp.sum(vf * xs * xs, axis=-1)
-    swxy = jnp.sum(vf * xs * ys, axis=-1)
-    det = sw * swxx - swx * swx
-    # Degenerate rows (<2 distinct valid samples): horizontal line through
-    # the weighted mean (a=0); fully invalid rows: height 0 (masked anyway).
-    safe_det = jnp.where(det > 1e-3, det, 1.0)
-    a = jnp.where(det > 1e-3, (sw * swxy - swx * swy) / safe_det, 0.0)
-    c = (swy - a * swx) / jnp.maximum(sw, 1e-6)
+    safe_sw = jnp.maximum(sw, 1e-6)
+    mx = jnp.sum(vf * xs, axis=-1) / safe_sw
+    my = jnp.sum(vf * ys, axis=-1) / safe_sw
+    dx = xs - mx[..., None]
+    dy = ys - my[..., None]
+    sxx = jnp.sum(vf * dx * dx, axis=-1)
+    sxy = jnp.sum(vf * dx * dy, axis=-1)
+    # Degenerate rows (<2 valid samples, or all samples at ~one x): a=0 —
+    # horizontal line through the weighted mean; fully invalid rows are
+    # masked by callers anyway.
+    ok = (sw >= 2.0) & (sxx > 1e-3 * safe_sw)
+    a = jnp.where(ok, sxy / jnp.where(ok, sxx, 1.0), 0.0)
+    c = my - a * mx
     return a, c
 
 

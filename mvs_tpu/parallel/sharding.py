@@ -19,6 +19,10 @@ logger = logging.getLogger(__name__)
 # Axes already warned about (axis name, reason extent) — warn once per axis
 # so a scan over stages doesn't spam, but the first silent de-shard is loud.
 _warned_axes: set[str] = set()
+# Axes folded into another dim's sharding instead of dropped (e.g. a D=8
+# refine-stage volume keeps the mesh 'depth' axis busy by sharding H over
+# ('space', 'depth')). Informational; reset alongside _warned_axes.
+_folded_axes: set[str] = set()
 
 __all__ = ["ShardingPlan", "data_parallel_plan", "volume_sharded_plan",
            "shard_batch", "replicate"]
@@ -60,29 +64,93 @@ class ShardingPlan:
         """Apply the small-extent guard; `levels` is the number of stride-2
         encoder levels the tensor passes through (defaults to the U-Net depth
         for volume-path tensors; pass 0 for tensors that never enter the
-        encoder, e.g. the regularizer's output scores)."""
+        encoder, e.g. the regularizer's output scores).
+
+        An axis whose own dim is too small is NOT silently dropped: it is
+        FOLDED into another guarded dim whose extent can absorb the combined
+        device count (P supports tuples of mesh axes per dim). E.g. a
+        CasMVSNet stage-3 volume (B, 8, 864, 1152, C) on a depth=2, space=2
+        mesh shards H over ('space', 'depth') — all four devices hold
+        distinct volume shards and the mesh 'depth' capacity stays busy at
+        the real extent, rather than two devices idling while D=8 runs
+        replicated. Only when no dim can absorb it is the axis dropped (with
+        the loud one-time warning)."""
         if levels is None:
             levels = self.unet_levels
+
+        def mesh_n(names):
+            n = 1
+            for a in names:
+                n *= self.mesh.shape.get(a, 1)
+            return n
+
+        def fits(i, names):
+            n = mesh_n(names)
+            return n <= 1 or (shape[i] >> levels) >= max(3, n)
+
+        # Normalize: each dim -> list of live model/data axes on it.
+        entries: list[list] = []
+        for axis in spec:
+            if axis is None:
+                entries.append([])
+            elif isinstance(axis, (tuple, list)):
+                entries.append([a for a in axis
+                                if self.mesh.shape.get(a, 1) > 1])
+            else:
+                entries.append([axis] if self.mesh.shape.get(axis, 1) > 1
+                               else [])
+
+        # Evict guarded axes from dims that fail the extent test.
+        homeless: list[str] = []
+        for i, names in enumerate(entries):
+            while any(a in ("depth", "space") for a in names) and not fits(i, names):
+                # Evict 'depth' before 'space' (space dims are the larger
+                # absorbers, so keeping 'space' in place maximizes the chance
+                # both survive).
+                victim = ("depth" if "depth" in names else "space")
+                names.remove(victim)
+                homeless.append(victim)
+
+        # Re-home evicted axes onto dims that can absorb them. Candidate
+        # dims: interior dims (not batch dim 0, not the trailing channel
+        # dim) that don't carry 'data'/'view', preferring dims already
+        # sharded on a guarded axis (i.e. the spatial dim).
+        for victim in list(homeless):
+            cands = [i for i in range(1, max(1, len(entries) - 1))
+                     if not any(a in ("data", "view") for a in entries[i])]
+            cands.sort(key=lambda i: -len(entries[i]))
+            for i in cands:
+                if fits(i, entries[i] + [victim]):
+                    entries[i] = entries[i] + [victim]
+                    homeless.remove(victim)
+                    if victim not in _folded_axes:
+                        _folded_axes.add(victim)
+                        logger.info(
+                            "ShardingPlan: mesh axis %r folded into dim %d's "
+                            "sharding (own dim too small at the deepest "
+                            "U-Net level).", victim, i)
+                    break
+
+        for victim in homeless:
+            if victim not in _warned_axes:
+                _warned_axes.add(victim)
+                logger.warning(
+                    "ShardingPlan: dropping requested mesh axis %r for a "
+                    "tensor of shape %s: no dim can absorb it (deepest "
+                    "U-Net level extents all < max(3, n)); small-extent "
+                    "sharded conv gradients miscompile under GSPMD — the "
+                    "tensor stays unsharded on this axis.",
+                    victim, tuple(shape),
+                )
+
         out = []
-        for i, axis in enumerate(spec):
-            if axis in ("depth", "space"):
-                n = self.mesh.shape.get(axis, 1)
-                deepest = shape[i] >> levels
-                if n > 1 and deepest < max(3, n):
-                    if axis not in _warned_axes:
-                        _warned_axes.add(axis)
-                        logger.warning(
-                            "ShardingPlan: dropping requested mesh axis %r "
-                            "(size %d) for a tensor with extent %d at dim %d "
-                            "(deepest U-Net level extent %d < %d): small-"
-                            "extent sharded conv gradients miscompile under "
-                            "GSPMD — the tensor stays unsharded on this axis.",
-                            axis, n, shape[i], i, deepest, max(3, n),
-                        )
-                    axis = None
-                elif n <= 1:
-                    axis = None
-            out.append(axis)
+        for names in entries:
+            if not names:
+                out.append(None)
+            elif len(names) == 1:
+                out.append(names[0])
+            else:
+                out.append(tuple(names))
         return P(*out)
 
     def constrain_volume(self, vol: jnp.ndarray) -> jnp.ndarray:

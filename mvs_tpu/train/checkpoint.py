@@ -40,13 +40,30 @@ def migrate_batch_stats(batch_stats, assumed_count: float = 1.0e4):
 
 
 class CheckpointManager:
-    def __init__(self, directory, max_to_keep: int = 5):
+    """Orbax manager with an optional best-metric retention policy.
+
+    With ``best_metric`` set, retention keeps the top ``max_to_keep``
+    checkpoints ranked by that metric (``best_mode`` 'min' or 'max') — the
+    role of MVSNet_pl's ModelCheckpoint(monitor='val/loss')
+    (reference MVSNet_pl/train.py:180-183) and PointMVSNet's best-tracking
+    Checkpointer (pointmvsnet/utils/checkpoint.py:8-84). Metrics are passed
+    at save() time; saves without the metric (e.g. epochs with no val pass)
+    fall back to recency."""
+
+    def __init__(self, directory, max_to_keep: int = 5,
+                 best_metric: str | None = None, best_mode: str = "min"):
         self._dir = Path(directory).absolute()
         self._dir.mkdir(parents=True, exist_ok=True)
+        self.best_metric = best_metric
+        kwargs = {}
+        if best_metric is not None:
+            kwargs["best_fn"] = lambda m: (m or {}).get(
+                best_metric, float("inf") if best_mode == "min" else float("-inf"))
+            kwargs["best_mode"] = best_mode
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep, create=True, **kwargs
             ),
         )
 
@@ -65,6 +82,11 @@ class CheckpointManager:
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        """Step of the best checkpoint by the retention metric (None when no
+        best_metric was configured or nothing was saved with the metric)."""
+        return self._mgr.best_step()
 
     def restore(self, target: Any, step: int | None = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()

@@ -68,15 +68,21 @@ def pyramid_loss(depth_est_levels, depth_gt_levels, mask_levels):
 
 def ohem_smooth_l1(depth_est, depth_gt, mask, topk_frac: float = 0.6):
     """Online hard-example mining: mean smooth-L1 over the hardest
-    `topk_frac` of valid pixels (per batch, like the reference's flattened
-    top-k)."""
+    ``floor(topk_frac * n_valid)`` pixels, where n_valid counts VALID
+    (masked-in) pixels — reference MVSNet_pl/losses.py:14-17 takes
+    ``int(topk * loss.numel())`` of the already-masked loss vector. k is
+    data-dependent, so instead of a static top-k we sort descending (invalid
+    pixels pushed to -inf, i.e. past every valid entry) and average the
+    entries whose rank < k."""
     err = smooth_l1(depth_est - depth_gt).reshape(-1)
     valid = (mask > 0.5).reshape(-1)
-    err = jnp.where(valid, err, -jnp.inf)
-    k = max(1, int(err.shape[0] * topk_frac))
-    top = jnp.sort(err)[::-1][:k]
-    keep = jnp.isfinite(top)
-    return jnp.sum(jnp.where(keep, top, 0.0)) / jnp.maximum(jnp.sum(keep), 1.0)
+    err_sorted = jnp.sort(jnp.where(valid, err, -jnp.inf))[::-1]
+    n_valid = jnp.sum(valid.astype(jnp.float32))
+    k = jnp.maximum(jnp.floor(topk_frac * n_valid), 1.0)
+    ranks = jnp.arange(err_sorted.shape[0], dtype=jnp.float32)
+    take = (ranks < k) & jnp.isfinite(err_sorted)
+    return (jnp.sum(jnp.where(take, err_sorted, 0.0))
+            / jnp.maximum(jnp.sum(take.astype(jnp.float32)), 1.0))
 
 
 def masked_mae(est, gt, mask, scale=1.0):

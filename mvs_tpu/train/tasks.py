@@ -56,11 +56,15 @@ class MVSNetTask(_TaskBase):
     loss_name: str = "smooth_l1"
     ohem_topk: float = 0.6
 
-    def loss_and_metrics(self, params, batch_stats, batch, train=True):
-        out, new_stats = self._apply(
+    def forward(self, params, batch_stats, batch, train=False):
+        """Model outputs (out_dict, new_batch_stats) for this task's batch."""
+        return self._apply(
             params, batch_stats, train,
             batch["imgs"], batch["proj_matrices"], batch["depth_values"],
         )
+
+    def loss_and_metrics(self, params, batch_stats, batch, train=True):
+        out, new_stats = self.forward(params, batch_stats, batch, train)
         depth_key = "refined_depth" if "refined_depth" in out else "depth"
         if self.loss_name == "ohem":
             loss = ohem_smooth_l1(out[depth_key], batch["depth_gt"],
@@ -81,11 +85,15 @@ class CascadeTask(_TaskBase):
 
     stage_weights: Any = (0.5, 1.0, 2.0)
 
-    def loss_and_metrics(self, params, batch_stats, batch, train=True):
-        out, new_stats = self._apply(
+    def forward(self, params, batch_stats, batch, train=False):
+        """Model outputs (out_dict, new_batch_stats) for this task's batch."""
+        return self._apply(
             params, batch_stats, train,
             batch["imgs"], batch["proj_matrices"], batch["depth_values"],
         )
+
+    def loss_and_metrics(self, params, batch_stats, batch, train=True):
+        out, new_stats = self.forward(params, batch_stats, batch, train)
         loss, last = cascade_loss(
             out, batch["depth_gt"], batch["mask"], self.stage_weights
         )
@@ -102,12 +110,16 @@ class PyramidTask(_TaskBase):
     """CVP/AACVP. batch: imgs, intrinsics (B,V,3,3), extrinsics (B,V,4,4),
     depth_min (B,), depth_max (B,), depth_gt_levels [finest..], mask_levels."""
 
-    def loss_and_metrics(self, params, batch_stats, batch, train=True):
-        out, new_stats = self._apply(
+    def forward(self, params, batch_stats, batch, train=False):
+        """Model outputs (out_dict, new_batch_stats) for this task's batch."""
+        return self._apply(
             params, batch_stats, train,
             batch["imgs"], batch["intrinsics"], batch["extrinsics"],
             batch["depth_min"], batch["depth_max"],
         )
+
+    def loss_and_metrics(self, params, batch_stats, batch, train=True):
+        out, new_stats = self.forward(params, batch_stats, batch, train)
         n = len(out["depth_levels"])
         loss = pyramid_loss(
             out["depth_levels"], batch["depth_gt_levels"][:n], batch["mask_levels"][:n]
@@ -126,14 +138,18 @@ class PointTask(_TaskBase):
     num_depth: int = 48
     use_flow: bool = True
 
-    def loss_and_metrics(self, params, batch_stats, batch, train=True):
-        out, new_stats = self._apply(
+    def forward(self, params, batch_stats, batch, train=False):
+        """Model outputs (out_dict, new_batch_stats) for this task's batch."""
+        return self._apply(
             params, batch_stats, train,
             batch["imgs"], batch["intrinsics"], batch["extrinsics"],
             batch["depth_start"], batch["depth_interval"],
             num_depth=self.num_depth, use_flow=self.use_flow,
             xyz_mean=batch.get("xyz_mean"), xyz_std=batch.get("xyz_std"),
         )
+
+    def loss_and_metrics(self, params, batch_stats, batch, train=True):
+        out, new_stats = self.forward(params, batch_stats, batch, train)
         loss, parts = point_mvsnet_loss(
             out, batch["depth_gt"], batch["depth_interval"]
         )

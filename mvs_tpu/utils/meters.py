@@ -54,6 +54,26 @@ class ScalarLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def log_image(self, step: int, tag: str, image, save_png: bool = True):
+        """Log an (H, W, 3) uint8 image: TensorBoard when available, plus a
+        PNG under <log_dir>/images/ so image summaries survive without TB
+        (the reference's save_images slot, MVSNet/utils.py:74-104)."""
+        import numpy as np
+
+        image = np.asarray(image)
+        if self._tb is not None:
+            self._tb.add_image(tag, image, step, dataformats="HWC")
+        if save_png:
+            try:
+                from PIL import Image
+
+                out = self.dir / "images"
+                out.mkdir(exist_ok=True)
+                safe = tag.replace("/", "_")
+                Image.fromarray(image).save(out / f"{safe}_{step:08d}.png")
+            except Exception:
+                pass
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

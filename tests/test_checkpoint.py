@@ -110,3 +110,22 @@ def test_pre_debiased_bn_checkpoint_detection(tmp_path):
     empty = CheckpointManager(tmp_path / "empty")
     assert not _is_pre_debiased_bn_checkpoint(empty)
     empty.close()
+
+
+def test_best_metric_retention(tmp_path):
+    """best_metric retention keeps the top-k checkpoints by val metric and
+    best_step() points at the minimum (reference MVSNet_pl/train.py:180-183
+    ModelCheckpoint(monitor='val/loss') + PointMVSNet Checkpointer)."""
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2,
+                            best_metric="abs_depth_error", best_mode="min")
+    state = {"w": np.arange(4, dtype=np.float32)}
+    errs = {10: 3.0, 20: 1.0, 30: 2.0, 40: 5.0}
+    for step, err in errs.items():
+        mgr.save(step, state, metrics={"abs_depth_error": err})
+    assert mgr.best_step() == 20
+    # Retention keeps the 2 best by metric: steps 20 (1.0) and 30 (2.0).
+    kept = set(mgr._mgr.all_steps())
+    assert kept == {20, 30}, kept
+    restored = mgr.restore({"w": np.zeros(4, np.float32)}, step=20)
+    np.testing.assert_allclose(restored["w"], state["w"])
+    mgr.close()

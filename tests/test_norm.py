@@ -84,7 +84,7 @@ def test_bn_recal_equal_weight_mean():
     count = float(bn["count"])
     denom = 1.0 - 0.9 ** count
     got_mean = np.asarray(bn["mean"]) / denom
-    conv = {"params": v["params"]["ConvBlock_0"]["FoldedConv_0"]}
+    conv = {"params": v["params"]["ConvBlock_0"]["Conv_0"]}
 
     def conv_out(xb):
         from mvs_tpu.nn.blocks import FoldedConv

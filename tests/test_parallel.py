@@ -103,9 +103,15 @@ def test_small_extent_axes_are_not_sharded(caplog):
     assert len(dropped) == 2, [r.message for r in dropped]
     ok = plan._guarded(plan.volume_spec, (4, 32, 32, 32, 32))
     assert ok == P("data", "depth", "space", None, None), ok
-    # Guard is per-axis: D large enough, H too small.
+    # Guard is per-axis, but a failing axis is folded into a dim that can
+    # absorb it rather than dropped: D=48 can carry depth*space 4-way
+    # (deepest 6 >= 4), so the evicted 'space' axis rides the D dim.
     mixed = plan._guarded(plan.volume_spec, (4, 48, 16, 16, 32))
-    assert mixed == P("data", "depth", None, None, None), mixed
+    assert mixed == P("data", ("depth", "space"), None, None, None), mixed
+    # The flagship refine-stage shape: D=8 depth-unshardable, H absorbs the
+    # 'depth' axis — all four model-parallel devices stay busy.
+    stage3 = plan._guarded(plan.volume_spec, (4, 8, 96, 64, 32))
+    assert stage3 == P("data", None, ("space", "depth"), None, None), stage3
     # Scores never enter the stride-2 encoder: guarded at levels=0, so a
     # D=16 score volume stays depth-shardable while the D=16 volume doesn't.
     scores = plan._guarded(plan.depth_spec, (4, 16, 16, 16), levels=0)
