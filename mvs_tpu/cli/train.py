@@ -22,8 +22,8 @@ from mvs_tpu.io import dtu as dtu_io
 from mvs_tpu.io.pipeline import DataLoader
 from mvs_tpu.models.registry import build_model_and_task
 from mvs_tpu.parallel import (
-    make_mesh, maybe_initialize_distributed, replicate, shard_batch,
-    volume_sharded_plan,
+    make_mesh, make_view_variance, maybe_initialize_distributed, replicate,
+    shard_batch, volume_sharded_plan,
 )
 from mvs_tpu.train import TrainState, make_train_step, parse_milestones
 from mvs_tpu.train.checkpoint import CheckpointManager
@@ -156,7 +156,8 @@ def main(argv=None):
     model, task, collate_name = build_model_and_task(
         cfg,
         volume_constraint=plan.constrain_volume if constrained else None,
-        view_constraint=plan.constrain_views
+        view_variance=make_view_variance(mesh, getattr(cfg.model, "sampler",
+                                                       "gather"))
         if constrained and cfg.train.mesh_view > 1 else None,
     )
     collate = getattr(dtu_io, collate_name)

@@ -27,7 +27,7 @@ from mvs_tpu.geometry.depth import cascade_depth_samples
 from mvs_tpu.nn.cost_reg import UNetCostRegNet
 from mvs_tpu.nn.feature_nets import CascadeFeatureNet
 from mvs_tpu.ops.cost_volume import (
-    get_warp_fn, variance_cost_volume, variance_from_partials,
+    variance_cost_volume,
 )
 from mvs_tpu.ops.regression import regress_depth_and_confidence
 
@@ -54,14 +54,15 @@ class CasMVSNet(nn.Module):
     # Optional sharding-constraint hook for each stage's (B, D, H, W, C)
     # cost volume (see parallel.ShardingPlan).
     volume_constraint: Any = None
-    # Optional sharding-constraint hook for the per-source-view warped
-    # feature stack (B, V-1, D, H, W, C). When set, the stage cost volume is
-    # built by materializing the stack and constraining its V axis over the
-    # mesh 'view' axis — GSPMD then runs each shard's warps locally and
-    # finishes the Σf/Σf² moments with one psum over ICI (the pjit form of
-    # parallel.collectives.view_sharded_variance_volume; the reference's only
-    # analogue is NCCL DDP over the batch, CasMVSNet/train.py:297-302).
-    view_constraint: Any = None
+    # Optional view-sharded volume builder (parallel.collectives.
+    # make_view_variance): builds each stage's variance volume under
+    # shard_map with the source-view axis on the mesh 'view' axis and ONE
+    # explicit psum('view') completing the Σf/Σf² moments (the reference's
+    # only analogue is NCCL DDP over the batch, CasMVSNet/train.py:297-302).
+    # Explicit, not a GSPMD constraint: the partitioner derives exactly-2x
+    # KERNEL gradients for every downstream conv from a view-sharded stack
+    # combined with depth/space volume sharding (tests/test_mesh16.py).
+    view_variance: Any = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
@@ -123,27 +124,14 @@ class CasMVSNet(nn.Module):
                 # source window, so the banded tiled warp cuts the hat
                 # matmuls' contraction size by ~HW/(band_h*band_w).
                 sampler = "hat_banded"
-            if self.view_constraint is not None:
-                # View-sharded path: materialize the (B, V-1, D, h, w, C)
-                # warped stack, pin its V axis to the mesh, reduce. Only the
-                # per-view samplers ('gather'/'hat') apply here — the banded
-                # sampler is a fused all-view variance with no per-view form,
-                # so refine stages fall back to the dense hat warp; each
-                # shard's stack is V/mesh_view-deep, so the memory win of
-                # banding is (partly) recovered by the sharding itself.
-                warp = get_warp_fn("gather" if self.sampler == "gather"
-                                   else "hat")
-                warped = jax.vmap(  # batch
-                    jax.vmap(warp, in_axes=(0, 0, None)),  # source views
-                    in_axes=(0, 0, 0),
-                )(stage_feats[:, 1:], rel_projs, hyp)
-                warped = self.view_constraint(warped)
-                ref_vol = jnp.broadcast_to(
-                    stage_feats[:, 0, None], warped.shape[:1] + warped.shape[2:]
-                )
-                sum_f = warped.sum(axis=1) + ref_vol
-                sum_sq = (warped * warped).sum(axis=1) + ref_vol * ref_vol
-                volume = variance_from_partials(sum_f, sum_sq, v)
+            if self.view_variance is not None:
+                # View-sharded path: each 'view' shard warps its local
+                # source views (per-view 'gather'/'hat' samplers — the
+                # banded sampler is a fused all-view variance with no
+                # per-view form) and one explicit psum completes the
+                # moments (shard_map, collectives.make_view_variance).
+                volume = self.view_variance(
+                    stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             else:
                 volume = jax.vmap(
                     lambda rf, sf, rp, hh: variance_cost_volume(

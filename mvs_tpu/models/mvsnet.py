@@ -61,11 +61,15 @@ class MVSNet(nn.Module):
     # cost volume — the hook through which parallel.ShardingPlan shards depth
     # slabs / spatial tiles over the mesh (GSPMD handles the conv halos).
     volume_constraint: Any = None
-    # Optional sharding-constraint hook for the per-source-view warped
-    # feature stack (B, V-1, D, H, W, C): pins the V axis to the mesh 'view'
-    # axis so each shard warps its views locally and GSPMD finishes the
-    # Σf/Σf² moments with one psum over ICI (see CasMVSNet.view_constraint).
-    view_constraint: Any = None
+    # Optional view-sharded volume builder (parallel.collectives.
+    # make_view_variance): computes the variance volume under shard_map with
+    # the source-view axis on the mesh 'view' axis and ONE explicit
+    # psum('view') finishing the Σf/Σf² moments. Explicit rather than a
+    # GSPMD sharding constraint because the partitioner derives silently
+    # 2x-scaled KERNEL gradients for downstream convs from a view-sharded
+    # stack (see make_view_variance's docstring; pinned by
+    # tests/test_mesh16.py).
+    view_variance: Any = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
@@ -85,31 +89,12 @@ class MVSNet(nn.Module):
             "bvij,bjk->bvik", proj_matrices[:, 1:], jnp.linalg.inv(proj_matrices[:, 0])
         )
 
-        if self.view_constraint is not None:
-            # View-sharded path: materialize the (B, V-1, D, h, w, C) warped
-            # stack, pin its V axis to the mesh, reduce (GSPMD inserts the
-            # psum over the 'view' axis — the pjit form of
-            # parallel.collectives.view_sharded_variance_volume).
-            from mvs_tpu.ops.cost_volume import (
-                get_warp_fn, variance_from_partials,
-            )
-
-            # Only per-view samplers ('gather'/'hat') have a warp fn here;
-            # 'hat_banded' is a fused all-view variance with no per-view
-            # form — fall back to the dense hat warp (same as CasMVSNet's
-            # view-sharded branch, cas_mvsnet.py).
-            warp = get_warp_fn("gather" if self.sampler == "gather" else "hat")
-            warped = jax.vmap(  # batch
-                jax.vmap(warp, in_axes=(0, 0, None)),  # source views
-                in_axes=(0, 0, 0),
-            )(feats[:, 1:], rel_projs, depth_values)
-            warped = self.view_constraint(warped)
-            ref_vol = jnp.broadcast_to(
-                feats[:, 0, None], warped.shape[:1] + warped.shape[2:]
-            )
-            sum_f = warped.sum(axis=1) + ref_vol
-            sum_sq = (warped * warped).sum(axis=1) + ref_vol * ref_vol
-            volume = variance_from_partials(sum_f, sum_sq, v)
+        if self.view_variance is not None:
+            # View-sharded path: each 'view' shard warps its local source
+            # views and one explicit psum completes the moments (shard_map,
+            # parallel.collectives.make_view_variance).
+            volume = self.view_variance(
+                feats[:, 0], feats[:, 1:], rel_projs, depth_values)
         else:
             def build_volume(ref_feat, src_feats, rels, depths):
                 return variance_cost_volume(ref_feat, src_feats, rels, depths,

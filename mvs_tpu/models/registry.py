@@ -25,7 +25,7 @@ def _band_cfg(m):
     return cfg or None
 
 
-def build_model_and_task(cfg, volume_constraint=None, view_constraint=None):
+def build_model_and_task(cfg, volume_constraint=None, view_variance=None):
     """cfg: utils.config.Config. Returns (model, task, collate_fn_name)."""
     import jax.numpy as jnp
 
@@ -36,7 +36,7 @@ def build_model_and_task(cfg, volume_constraint=None, view_constraint=None):
             base_channels=m.base_channels, refine=m.refine,
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
-            view_constraint=view_constraint,
+            view_variance=view_variance,
         )
         return model, MVSNetTask(model, loss_name=cfg.train.loss,
                                  ohem_topk=cfg.train.ohem_topk), "collate_mvsnet"
@@ -47,7 +47,7 @@ def build_model_and_task(cfg, volume_constraint=None, view_constraint=None):
             arch_mode=m.arch_mode, share_cr=m.share_cr,
             normalization=m.normalization, sampler=m.sampler,
             compute_dtype=dtype, volume_constraint=volume_constraint,
-            view_constraint=view_constraint,
+            view_variance=view_variance,
             band_cfg=_band_cfg(m),
         )
         return model, CascadeTask(model), "collate_cascade"

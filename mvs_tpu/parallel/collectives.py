@@ -20,7 +20,75 @@ from jax import shard_map
 from mvs_tpu.geometry.homography import warp_src_feature
 from mvs_tpu.ops.cost_volume import variance_from_partials
 
-__all__ = ["view_sharded_variance_volume", "psum_metrics"]
+__all__ = ["view_sharded_variance_volume", "make_view_variance",
+           "psum_metrics"]
+
+
+def make_view_variance(mesh: Mesh, sampler: str = "gather"):
+    """Batched view-sharded variance volume with PINNED collectives.
+
+    Returns fn(ref_feats (B,h,w,C), src_feats (B,V,h,w,C),
+    rel_projs (B,V,4,4), hyp (B,D) | (B,D,h,w)) -> volume (B,D,h,w,C),
+    computed under shard_map with V over the mesh 'view' axis, D over
+    'depth', batch over 'data', and ONE explicit psum('view') finishing the
+    Sigma-f / Sigma-f^2 moments.
+
+    Why shard_map and not a pjit sharding constraint: letting GSPMD derive
+    the reduction from a view-sharded (B,V,D,h,w,C) stack produces silently
+    wrong KERNEL gradients for every downstream convolution on the current
+    XLA — measured exactly 2.0x (the view-axis size) on all CasMVSNet
+    cost-regularizer kernels whenever 'view' combines with a depth- or
+    space-sharded volume (forward pass and activation grads correct; CPU
+    jax 0.9.x, pinned by tests/test_mesh16.py). The explicit form computes
+    partials per shard and psums once, so the partitioner never sees a
+    view-sharded tensor and its conv-grad accumulation stays in the clean
+    regime. 'space'-axis devices replicate the warp work (the volume they
+    receive is identical), and recover their parallelism in the 3D U-Net.
+
+    Reference analogue: NCCL all-reduce DDP (CasMVSNet/train.py:297-302,
+    365-372) — except sharding model state (views), not just the batch.
+    """
+    from mvs_tpu.ops.cost_volume import get_warp_fn
+
+    warp = get_warp_fn("gather" if sampler == "gather" else "hat")
+    has_view = mesh.shape.get("view", 1) >= 1
+
+    def shard_fn(ref, srcs, rels, hyp):
+        # Local shapes: ref (B_l,h,w,C), srcs (B_l,V_l,h,w,C),
+        # hyp (B_l,D_l[,h,w]).
+        def per_sample(r, ss, rr, hh):
+            d = hh.shape[0]
+            sum_f = jnp.zeros((d,) + r.shape, jnp.float32)
+            sum_sq = jnp.zeros_like(sum_f)
+            for v in range(ss.shape[0]):
+                warped = warp(ss[v], rr[v], hh).astype(jnp.float32)
+                sum_f = sum_f + warped
+                sum_sq = sum_sq + warped * warped
+            return sum_f, sum_sq
+
+        sum_f, sum_sq = jax.vmap(per_sample)(ref, srcs, rels, hyp)
+        # Reference view counts once globally (view shard 0 adds it).
+        first = (jax.lax.axis_index("view") == 0).astype(jnp.float32)
+        d_l = sum_f.shape[1]
+        ref_vol = jnp.broadcast_to(
+            ref[:, None].astype(jnp.float32),
+            (ref.shape[0], d_l) + ref.shape[1:])
+        sum_f = sum_f + first * ref_vol
+        sum_sq = sum_sq + first * ref_vol * ref_vol
+        sum_f = jax.lax.psum(sum_f, axis_name="view")
+        sum_sq = jax.lax.psum(sum_sq, axis_name="view")
+        num_views = srcs.shape[1] * mesh.shape.get("view", 1) + 1
+        return variance_from_partials(sum_f, sum_sq, num_views).astype(ref.dtype)
+
+    assert has_view
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data", "view"), P("data", "view"),
+                  P("data", "depth")),
+        out_specs=P("data", "depth"),
+        check_vma=False,
+    )
 
 
 def view_sharded_variance_volume(

@@ -201,7 +201,7 @@ def test_view_sharded_train_step_matches_single_device():
     (data=2, view=2, depth=2) is FUNCTIONALLY identical to the
     single-device step.
 
-    This exercises the view_constraint hook end to end: the model
+    This exercises the view_variance hook end to end: the model
     materializes the (B, V-1, D, h, w, C) warped stack, GSPMD pins its V
     axis to 'view' and finishes the Σf/Σf² moments with a psum over the
     mesh — the framework's own collective running inside a live train step
@@ -245,8 +245,9 @@ def test_view_sharded_train_step_matches_single_device():
 
     mesh = make_mesh(data=2, view=2, depth=2)
     plan = volume_sharded_plan(mesh)
+    from mvs_tpu.parallel import make_view_variance
     sharded_model = MVSNet(volume_constraint=plan.constrain_volume,
-                           view_constraint=plan.constrain_views)
+                           view_variance=make_view_variance(mesh))
     single = make_mesh(data=1, devices=jax.devices()[:1])
 
     loss_v, params_v = run(mesh, sharded_model, batch)
