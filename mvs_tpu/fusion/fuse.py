@@ -110,12 +110,10 @@ def fuse_view(ref_idx: int, src_idxs, depths, confs, intrinsics, extrinsics,
     return world[mask], mask
 
 
-@partial(jax.jit, static_argnames=("conf_thresh", "num_consistent",
-                                   "pixel_thresh", "depth_thresh",
-                                   "depth_mode"))
-def _scene_fusion(depths, confs, intrinsics, extrinsics, src_idx, src_valid,
-                  conf_thresh: float, num_consistent: int,
-                  pixel_thresh: float, depth_thresh: float, depth_mode: str):
+def _scene_fusion_impl(depths, confs, intrinsics, extrinsics, src_idx,
+                       src_valid, conf_thresh: float, num_consistent: int,
+                       pixel_thresh: float, depth_thresh: float,
+                       depth_mode: str):
     """All ref views' consistency + averaging + unprojection in ONE program.
 
     src_idx (V, S) int32 source-view ids per ref view (pair list padded to a
@@ -149,6 +147,56 @@ def _scene_fusion(depths, confs, intrinsics, extrinsics, src_idx, src_valid,
     return jax.lax.map(per_ref, jnp.arange(depths.shape[0]))
 
 
+_scene_fusion = jax.jit(
+    _scene_fusion_impl,
+    static_argnames=("conf_thresh", "num_consistent", "pixel_thresh",
+                     "depth_thresh", "depth_mode"),
+)
+
+
+def pad_pairs(pairs, num_views: int, max_s: int | None = None):
+    """Pair list -> fixed (V, S) src-index matrix + {0,1} validity mask."""
+    if max_s is None:
+        max_s = max((len(s) for _, s in pairs), default=1) or 1
+    src_idx = np.zeros((num_views, max_s), np.int32)
+    src_valid = np.zeros((num_views, max_s), np.float32)
+    for ref_view, src_views in pairs:
+        k = len(src_views)
+        src_idx[ref_view, :k] = src_views
+        src_valid[ref_view, :k] = 1.0
+    return src_idx, src_valid
+
+
+def make_batched_scene_fusion(mesh, config: FusionConfig):
+    """Scan-parallel fusion: S scans stacked on a leading axis, sharded over
+    the mesh 'data' axis — each device fuses its own scans concurrently (the
+    TPU-native form of the reference's multiprocessing Pool over scans,
+    CasMVSNet/test.py:413-444; SURVEY §2.4 P5).
+
+    Returns fn(depths (S,V,H,W), confs, intrinsics (S,V,3,3),
+    extrinsics (S,V,4,4), src_idx (S,V,Smax), src_valid) ->
+    (mask (S,V,H,W) bool, world (S,V,H,W,3)), compiled once per shape group.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+
+    inner = partial(
+        _scene_fusion_impl,
+        conf_thresh=config.conf_thresh,
+        num_consistent=config.num_consistent,
+        pixel_thresh=config.pixel_thresh,
+        depth_thresh=config.depth_thresh,
+        depth_mode=config.depth_mode,
+    )
+    vm = jax.vmap(inner)
+    return jax.jit(
+        vm,
+        in_shardings=(shard,) * 6,
+        out_shardings=(shard, shard),
+    )
+
+
 def fuse_scene(depths, confs, intrinsics, extrinsics, pairs,
                config: FusionConfig | None = None):
     """Whole-scene fusion masks + world points: one device call, one readback.
@@ -157,14 +205,7 @@ def fuse_scene(depths, confs, intrinsics, extrinsics, pairs,
     absent from `pairs` (or with empty source lists) get all-false masks.
     """
     config = config or FusionConfig()
-    num_views = len(depths)
-    max_s = max((len(s) for _, s in pairs), default=1) or 1
-    src_idx = np.zeros((num_views, max_s), np.int32)
-    src_valid = np.zeros((num_views, max_s), np.float32)
-    for ref_view, src_views in pairs:
-        k = len(src_views)
-        src_idx[ref_view, :k] = src_views
-        src_valid[ref_view, :k] = 1.0
+    src_idx, src_valid = pad_pairs(pairs, len(depths))
     mask, world = _scene_fusion(
         jnp.asarray(depths), jnp.asarray(confs), jnp.asarray(intrinsics),
         jnp.asarray(extrinsics), jnp.asarray(src_idx), jnp.asarray(src_valid),

@@ -100,3 +100,52 @@ def test_aggregate_scans():
     agg = aggregate_scans([r1, r1])
     assert agg["overall"] == pytest.approx(0.0)
     assert agg["num_scans"] == 2
+
+
+def test_batched_scene_fusion_matches_serial():
+    """Scan-parallel (mesh 'data'-sharded, vmapped) fusion == per-scan
+    fuse_scene for every scan in the batch (the reference Pool-over-scans
+    parity, CasMVSNet/test.py:413-444)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvs_tpu.fusion import (
+        FusionConfig, fuse_scene, make_batched_scene_fusion, pad_pairs,
+    )
+    from mvs_tpu.parallel import make_mesh
+    from mvs_tpu.utils.synthetic import make_plane_scene
+
+    cfg = FusionConfig(conf_thresh=0.3, num_consistent=1, pixel_thresh=2.0,
+                       depth_thresh=0.05)
+    scans = [make_plane_scene(num_views=3, height=32, width=48, z0=10.0,
+                              seed=s, tilt=(0.02, 0.01)) for s in range(4)]
+    pairs = [(r, [v for v in range(3) if v != r]) for r in range(3)]
+
+    serial = []
+    depths, confs, intrs, extrs = [], [], [], []
+    for sc in scans:
+        d = np.stack(sc.depths).astype(np.float32)
+        c = np.ones_like(d)
+        k = np.stack(sc.intrinsics).astype(np.float32)
+        e = np.stack(sc.extrinsics).astype(np.float32)
+        serial.append(fuse_scene(d, c, k, e, pairs, cfg))
+        depths.append(d)
+        confs.append(c)
+        intrs.append(k)
+        extrs.append(e)
+
+    import jax as _jax
+    mesh = make_mesh(data=4, devices=_jax.devices()[:4])
+    fn = make_batched_scene_fusion(mesh, cfg)
+    shard = NamedSharding(mesh, P("data"))
+    src_idx, src_valid = pad_pairs(pairs, 3)
+    args = [np.stack(depths), np.stack(confs), np.stack(intrs),
+            np.stack(extrs), np.stack([src_idx] * 4),
+            np.stack([src_valid] * 4)]
+    mask_b, world_b = fn(*[jax.device_put(a, shard) for a in args])
+    mask_b, world_b = np.asarray(mask_b), np.asarray(world_b)
+
+    for i, (mask_s, world_s) in enumerate(serial):
+        np.testing.assert_array_equal(mask_b[i], mask_s)
+        np.testing.assert_allclose(world_b[i][mask_s], world_s[mask_s],
+                                   rtol=1e-5, atol=1e-5)
