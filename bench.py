@@ -152,6 +152,34 @@ def main():
     dt = _timed(forward, margs, sync, iters)
     value = batch / dt  # depth maps per second per chip
 
+    # Accuracy cost of the fast sampler, carried WITH the perf number: depth
+    # maps from the production sampler vs the exact gather sampler on the
+    # same weights/batch, normalized by the stage-3 hypothesis interval
+    # (the finest depth resolution the cascade reasons at). BENCH_DELTA=0
+    # skips (saves one gather-sampler compile).
+    depth_delta = None
+    if os.environ.get("BENCH_DELTA", "1") == "1" and sampler != "gather":
+        model_exact = CasMVSNet(ndepths=ndepths, compute_dtype=dtype,
+                                sampler="gather")
+        # Batch 1: the gather sampler materializes per-view warped volumes
+        # and exceeds HBM at the serving batch; the delta is per-map anyway.
+        proj1 = {k: v[:1] for k, v in proj.items()}
+        d_fast = np.asarray(
+            forward(variables, imgs[:1], proj1, depth_values[:1])[0],
+            np.float32)
+        d_exact = np.asarray(
+            make_apply_fn(model_exact)(variables, imgs[:1], proj1,
+                                       depth_values[:1])[0], np.float32)
+        delta = np.abs(d_fast - d_exact)
+        interval3 = float(depth_values[0, 1] - depth_values[0, 0])
+        depth_delta = {
+            "mean_over_interval": round(float(delta.mean()) / interval3, 4),
+            "p99_over_interval": round(
+                float(np.quantile(delta, 0.99)) / interval3, 4),
+            "stage3_interval_units": round(interval3, 5),
+            "exact_sampler": "gather",
+        }
+
     dev = jax.devices()[0]
     device_kind = getattr(dev, "device_kind", str(dev))
     peak = _peak_flops(device_kind)
@@ -165,6 +193,7 @@ def main():
         "device": device_kind,
         "mfu": mfu,
         "model_tflops_per_map": round(flops / batch / 1e12, 3) if flops else None,
+        "depth_delta": depth_delta,
         "baseline_provenance": "1/0.49s per view, CasMVSNet paper arXiv "
                                "1912.06378 Tab.5 (external, not measured "
                                "in-repo; see bench.py docstring)",
@@ -286,5 +315,107 @@ def stage_breakdown(model, variables, imgs, proj, depth_values, dtype,
     return out
 
 
+def train_main():
+    """Training-envelope bench: one cascade TRAIN step at reference train
+    shapes (DTU 640x512 crops, ndepths 48/32/8 — CasMVSNet/train.sh), with
+    peak-HBM accounting. The reference envelope to compare: ~5 GB/GPU per
+    batch-1 (CasMVSNet/code.md), max batch 3 on a 16 GB V100
+    (MVSNet_pl/setup.md). Run: python bench.py --train [BENCH_TRAIN_BATCH=N]
+    """
+    import time
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/mvs_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import optax
+
+    from mvs_tpu.geometry import compose_projection, scale_intrinsics
+    from mvs_tpu.models.cas_mvsnet import CasMVSNet
+    from mvs_tpu.train import CascadeTask, TrainState, make_train_step
+    from mvs_tpu.utils.synthetic import make_plane_scene
+
+    height = int(os.environ.get("BENCH_TRAIN_H", 512))
+    width = int(os.environ.get("BENCH_TRAIN_W", 640))
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 4))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+    num_views = 5
+    sampler = os.environ.get("BENCH_SAMPLER", "hat")
+
+    scene = make_plane_scene(num_views=num_views, height=height, width=width,
+                             z0=10.0, tilt=(0.05, 0.03))
+    imgs = jnp.broadcast_to(jnp.asarray(scene.images)[None],
+                            (batch, num_views, height, width, 3))
+    intr = jnp.broadcast_to(jnp.asarray(scene.intrinsics)[None],
+                            (batch, num_views, 3, 3))
+    extr = jnp.broadcast_to(jnp.asarray(scene.extrinsics)[None],
+                            (batch, num_views, 4, 4))
+    proj = {
+        f"stage{i + 1}": compose_projection(scale_intrinsics(intr, s), extr)
+        for i, s in enumerate((0.25, 0.5, 1.0))
+    }
+    depth_values = jnp.broadcast_to(jnp.linspace(8.0, 12.0, 192), (batch, 192))
+    gt = {}
+    masks = {}
+    for i, s in enumerate((4, 2, 1)):
+        g = jnp.broadcast_to(jnp.asarray(scene.depths[0][::s, ::s])[None],
+                             (batch, height // s, width // s))
+        gt[f"stage{i + 1}"] = g
+        masks[f"stage{i + 1}"] = (g > 0).astype(jnp.float32)
+    b = {"imgs": imgs, "proj_matrices": proj, "depth_values": depth_values,
+         "depth_gt": gt, "mask": masks}
+
+    model = CasMVSNet(ndepths=(48, 32, 8), compute_dtype=jnp.bfloat16,
+                      sampler=sampler)
+    task = CascadeTask(model)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(0), b["imgs"][:1], {k: v[:1] for k, v in proj.items()},
+        depth_values[:1], train=True)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=optax.adam(1e-3),
+    )
+    step = make_train_step(task, donate=True)
+
+    state, metrics = step(state, b)
+    _ = float(metrics["loss"])  # forces execution
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, b)
+    loss = float(metrics["loss"])  # readback bounds the loop
+    dt = (time.perf_counter() - t0) / iters
+
+    dev = jax.devices()[0]
+    stats = {}
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        pass
+    peak = stats.get("peak_bytes_in_use")
+    print(json.dumps({
+        "metric": f"casmvsnet_train_steps_per_sec_{width}x{height}"
+                  f"_48_32_8_b{batch}",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/s",
+        "samples_per_sec": round(batch / dt, 3),
+        "loss_finite": bool(np.isfinite(loss)),
+        "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
+        "device": getattr(dev, "device_kind", str(dev)),
+        "reference_envelope": "~5 GB/GPU at batch 1 (CasMVSNet/code.md); "
+                              "max batch 3 on 16 GB V100 (MVSNet_pl/setup.md)",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train" in sys.argv:
+        train_main()
+    else:
+        main()

@@ -34,7 +34,22 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def read_image(path) -> np.ndarray:
-    """(H, W, 3) float32 in [0, 1]."""
+    """(H, W, 3) float32 in [0, 1].
+
+    cv2 decode when available: its JPEG/PNG decode releases the GIL, so the
+    DataLoader's thread pool actually scales (measured at 1152x864 DTU
+    shapes: PIL throughput DEGRADES with threads — 5.9 samples/s at 1
+    thread down to 1.3 at 16 — while cv2 scales; benchmarks/bench_loader.py,
+    benchmarks/PERF_NOTES.md). PIL fallback keeps exotic formats working."""
+    try:
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(
+                np.float32) / 255.0
+    except Exception:
+        pass
     from PIL import Image
 
     with Image.open(path) as img:

@@ -133,10 +133,21 @@ class CasMVSNet(nn.Module):
                 volume = self.view_variance(
                     stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             else:
-                volume = jax.vmap(
-                    lambda rf, sf, rp, hh: variance_cost_volume(
-                        rf, sf, rp, hh, sampler=sampler, band_cfg=self.band_cfg)
-                )(stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
+                def build_volume(rf, sf, rp, hh, _sampler=sampler):
+                    return variance_cost_volume(
+                        rf, sf, rp, hh, sampler=_sampler,
+                        band_cfg=self.band_cfg)
+
+                if train:
+                    # Rematerialize the warp in the backward pass: storing
+                    # its per-tile hat weights / warped intermediates for AD
+                    # costs tens of GB at reference train shapes (measured
+                    # 69.8 GB at 640x512 b=4 without remat vs the v5e's
+                    # 16 GB); recomputing them trades ~1/3 more warp FLOPs
+                    # for fitting the reference training envelope.
+                    build_volume = jax.checkpoint(build_volume)
+                volume = jax.vmap(build_volume)(
+                    stage_feats[:, 0], stage_feats[:, 1:], rel_projs, hyp)
             if self.volume_constraint is not None:
                 volume = self.volume_constraint(volume)
 

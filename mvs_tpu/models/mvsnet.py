@@ -100,6 +100,10 @@ class MVSNet(nn.Module):
                 return variance_cost_volume(ref_feat, src_feats, rels, depths,
                                             sampler=self.sampler)
 
+            if train:
+                # Remat the warp for backward (see CasMVSNet: storing warp
+                # intermediates for AD blows the training memory envelope).
+                build_volume = jax.checkpoint(build_volume)
             volume = jax.vmap(build_volume)(
                 feats[:, 0], feats[:, 1:], rel_projs, depth_values
             )  # (B, D, fh, fw, C)

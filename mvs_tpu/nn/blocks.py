@@ -42,21 +42,32 @@ class FoldedConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None, relu: bool = False):
+        """Optional (scale, shift, relu): a per-channel affine (e.g. a folded
+        eval-mode BatchNorm) + ReLU fused into the conv's f32 epilogue — one
+        pass instead of conv -> norm -> relu HBM round-trips."""
         from mvs_tpu.ops.folded_conv import conv_folded
 
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (*self.kernel_size, c_in, self.features), jnp.float32)
-        scale = shift = None
+        bias = None
         if self.use_bias:
-            scale = jnp.ones((self.features,), jnp.float32)
-            shift = self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        if scale is not None:
+            # y = scale * (conv + bias) + shift.
+            eff_scale = scale
+            eff_shift = shift + (scale * bias if bias is not None else 0.0)
+        elif bias is not None:
+            eff_scale = jnp.ones((self.features,), jnp.float32)
+            eff_shift = bias
+        else:
+            eff_scale = eff_shift = None
         cd = self.dtype or x.dtype
-        return conv_folded(x.astype(cd), kernel, scale, shift,
-                           strides=self.strides)
+        return conv_folded(x.astype(cd), kernel, eff_scale, eff_shift,
+                           strides=self.strides, relu=relu)
 
 
 class FoldedConvTranspose(nn.Module):
@@ -69,20 +80,28 @@ class FoldedConvTranspose(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None, relu: bool = False):
         from mvs_tpu.ops.folded_conv import conv_transpose_folded2
 
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (*self.kernel_size, c_in, self.features), jnp.float32)
-        scale = shift = None
+        bias = None
         if self.use_bias:
-            scale = jnp.ones((self.features,), jnp.float32)
-            shift = self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        if scale is not None:
+            eff_scale = scale
+            eff_shift = shift + (scale * bias if bias is not None else 0.0)
+        elif bias is not None:
+            eff_scale = jnp.ones((self.features,), jnp.float32)
+            eff_shift = bias
+        else:
+            eff_scale = eff_shift = None
         cd = self.dtype or x.dtype
-        return conv_transpose_folded2(x.astype(cd), kernel, scale, shift)
+        return conv_transpose_folded2(x.astype(cd), kernel, eff_scale,
+                                      eff_shift, relu=relu)
 
 
 class Norm(nn.Module):
@@ -104,7 +123,11 @@ class Norm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, affine_only: bool = False):
+        """affine_only=True (eval-mode batch norm only): return the folded
+        per-channel (scale, shift) with y = x*scale + shift == BN(x), for
+        fusion into a preceding conv's epilogue; x is used only for its
+        channel count."""
         if self.normalization == "group":
             groups = max(1, x.shape[-1] // self.group_size)
             return nn.GroupNorm(num_groups=groups)(x)
@@ -149,6 +172,9 @@ class Norm(nn.Module):
             never = count.value < 0.5  # eval before any update: identity stats
             mean = jnp.where(never, 0.0, acc_mean.value / safe)
             var = jnp.where(never, 1.0, acc_var.value / safe)
+            if affine_only:
+                s = gamma * jax.lax.rsqrt(var + self.epsilon)
+                return s, beta - mean * s
 
         y = (x.astype(jnp.float32) - mean) * gamma * jax.lax.rsqrt(
             var + self.epsilon) + beta
@@ -174,7 +200,19 @@ class ConvBlock(nn.Module):
         uniform = (isinstance(strides, int)
                    or len(set(strides)) == 1) and all(k % 2 for k in ks)
         s = strides if isinstance(strides, int) else strides[0]
-        if uniform and s in (1, 2):
+        folded = uniform and s in (1, 2)
+        norm = Norm(self.normalization, self.axis_name)
+        if folded and not train and self.normalization == "batch":
+            # Inference: fold the eval-mode BN into the conv's f32 epilogue
+            # (+fused ReLU) — conv+norm+relu in one pass, like
+            # FusedConvBlock3D's eval path.
+            aff = norm(jnp.zeros((1, self.features), x.dtype), False,
+                       affine_only=True)
+            return FoldedConv(self.features, ks, strides=s,
+                              use_bias=self.use_bias, dtype=self.dtype,
+                              name="Conv_0")(x, scale=aff[0], shift=aff[1],
+                                             relu=self.relu)
+        if folded:
             # Lane-folded fast path (identical math; see ops.folded_conv).
             # name='Conv_0' keeps the param path identical to the nn.Conv
             # branch (and to pre-folded checkpoints): shapes/initializers
@@ -187,7 +225,7 @@ class ConvBlock(nn.Module):
                 self.features, kernel_size=ks, strides=self.strides,
                 padding="SAME", use_bias=self.use_bias, dtype=self.dtype,
             )(x)
-        x = Norm(self.normalization, self.axis_name)(x, train)
+        x = norm(x, train)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -333,7 +371,17 @@ class ConvTransposeBlock(nn.Module):
         if isinstance(strides, int):
             strides = (strides,) * len(self.kernel_size)
         ks = tuple(self.kernel_size)
-        if set(strides) == {2} and set(ks) == {3}:
+        folded = set(strides) == {2} and set(ks) == {3}
+        norm = Norm(self.normalization, self.axis_name)
+        if folded and not train and self.normalization == "batch":
+            # Inference: eval-mode BN folded into the conv epilogue (+ReLU).
+            aff = norm(jnp.zeros((1, self.features), x.dtype), False,
+                       affine_only=True)
+            return FoldedConvTranspose(
+                self.features, ks, dtype=self.dtype,
+                name="ConvTranspose_0")(x, scale=aff[0], shift=aff[1],
+                                        relu=self.relu)
+        if folded:
             # Lane-folded fast path (identical math; see ops.folded_conv).
             # name='ConvTranspose_0' preserves the nn.ConvTranspose param
             # path so pre-folded checkpoints restore unchanged.
@@ -344,7 +392,7 @@ class ConvTransposeBlock(nn.Module):
                 self.features, kernel_size=ks, strides=strides,
                 padding="SAME", use_bias=False, dtype=self.dtype,
             )(x)
-        x = Norm(self.normalization, self.axis_name)(x, train)
+        x = norm(x, train)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -142,13 +142,53 @@ def _fold_w(w, f_in, f_out, stride, p_lo, transpose=False):
                       f_in * c_in, f_out * c_out), wpad
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_f32accum(x, w, strides, padding, lhs_dilation, dn):
+    """conv with f32 MXU accumulation that remains DIFFERENTIABLE for low-
+    precision inputs: this jax's conv transpose rule rejects
+    preferred_element_type=f32 with bf16 operands (the f32 cotangent meets
+    the bf16 operand inside the transposed conv -> dtype-mismatch error), so
+    bf16 TRAINING through any conv here would crash. The custom vjp casts
+    the cotangent to the input dtype first — standard mixed-precision
+    semantics (torch AMP computes grads in half precision too)."""
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+
+def _conv_f32accum_fwd(x, w, strides, padding, lhs_dilation, dn):
+    return _conv_f32accum(x, w, strides, padding, lhs_dilation, dn), (x, w)
+
+
+def _conv_f32accum_bwd(strides, padding, lhs_dilation, dn, res, g):
+    x, w = res
+
+    def plain(a, b):
+        return jax.lax.conv_general_dilated(
+            a, b, strides, padding, lhs_dilation=lhs_dilation,
+            dimension_numbers=dn)
+
+    # The primal value from vjp is unused -> XLA dead-code-eliminates it;
+    # only the two transpose convs survive.
+    _, vjp = jax.vjp(plain, x, w)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_f32accum.defvjp(_conv_f32accum_fwd, _conv_f32accum_bwd)
+
+
 def _conv(x, w, strides, padding, lhs_dilation=None):
     dn_in = "NDHWC" if x.ndim == 5 else "NHWC"
     dn_k = "DHWIO" if x.ndim == 5 else "HWIO"
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, (dn_in, dn_k, dn_in))
-    return jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), strides, padding, lhs_dilation=lhs_dilation,
-        dimension_numbers=dn, preferred_element_type=jnp.float32)
+    w = w.astype(x.dtype)
+    if x.dtype == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, w, strides, padding, lhs_dilation=lhs_dilation,
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+    return _conv_f32accum(x, w, tuple(strides), tuple(map(tuple, padding)),
+                          None if lhs_dilation is None else tuple(lhs_dilation),
+                          dn)
 
 
 def _epilogue(y, scale, shift, relu, dtype):
@@ -229,13 +269,19 @@ def conv_transpose_folded2(x, w, scale=None, shift=None, *, relu=False,
     wdim = int(x.shape[-2])
     odt = out_dtype or x.dtype
     if f_in < 2 or wdim % max(f_in, 1) or int(w.shape[-3]) != 3:
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape,
+            ("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5
+            else ("NHWC", "HWIO", "NHWC"))
+        # preferred_element_type only when differentiable with it: the conv
+        # transpose rule rejects f32 accumulation over bf16 operands (see
+        # _conv_f32accum); the rare low-precision fallback rounds the conv
+        # output instead.
+        pet = {"preferred_element_type": jnp.float32} \
+            if x.dtype == jnp.float32 else {}
         y = jax.lax.conv_transpose(
             x, w.astype(x.dtype), (2,) * sdims, "SAME",
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                x.shape, w.shape,
-                ("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5
-                else ("NHWC", "HWIO", "NHWC")),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=dn, **pet).astype(jnp.float32)
         return _epilogue(y, scale, shift, relu, odt)
     xf = fold_width(x, f_in)
     # out[w] = sum_dx W[dx] * in[(w + dx - 2)/2] (parity-matched): p_lo = 2.

@@ -241,7 +241,11 @@ def fused_variance_volume_hat(
         mean = sum_f / num_views
         return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype)
 
-    var = jax.lax.map(chunk_fn, (row_idx, dep_chunks))
+    # Per-chunk remat: lax.map's VJP stores every iteration's residuals
+    # (hat weights, warped rows) — tens of GB at train shapes. Checkpointing
+    # the BODY makes the backward recompute each chunk from its (tiny)
+    # inputs instead; measured 69.8 GB -> fits-in-HBM at 640x512 training.
+    var = jax.lax.map(jax.checkpoint(chunk_fn), (row_idx, dep_chunks))
     return var.reshape(-1, w, c)[:total].reshape(d, h, w, c)
 
 
@@ -521,10 +525,14 @@ def fused_variance_volume_banded(
             dv = jnp.concatenate([dv, jnp.repeat(dv[-1:], pad, 0)])
         o2 = origins.reshape(-1, k, 2)
         d2 = dv.reshape(-1, k, *dv.shape[1:])
-        tiles, off_counts = jax.lax.map(jax.vmap(tile_fn), (o2, d2))
+        tiles, off_counts = jax.lax.map(
+            jax.checkpoint(jax.vmap(tile_fn)), (o2, d2))
         tiles = tiles.reshape(-1, *tiles.shape[2:])[:n_tiles]
     else:
-        tiles, off_counts = jax.lax.map(tile_fn, (origins, dv))  # (N, g, R, TW, C)
+        # Per-tile remat (see fused_variance_volume_hat): without it the
+        # map's VJP materializes every tile's hat/warp residuals at once.
+        tiles, off_counts = jax.lax.map(
+            jax.checkpoint(tile_fn), (origins, dv))  # (N, g, R, TW, C)
     vol = tiles.reshape(d // g, nr, nc, g, tile_rows, tile_cols, c)
     vol = vol.transpose(0, 3, 1, 4, 2, 5, 6).reshape(d, hp, wp, c)
     vol = vol[:, :h, :w]

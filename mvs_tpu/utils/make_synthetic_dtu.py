@@ -19,26 +19,37 @@ from pathlib import Path
 import numpy as np
 
 from mvs_tpu.io import CameraParams, write_cam_file, write_pair_file, write_pfm, write_ply
-from mvs_tpu.utils.synthetic import make_plane_scene
+from mvs_tpu.utils.synthetic import make_objects_scene, make_plane_scene
 
 __all__ = ["generate", "main"]
 
 
 def generate(root, num_scans=2, num_views=5, height=64, width=96,
-             num_depth=16, num_lights=2, z0=10.0, tilt=(0.0, 0.0)):
+             num_depth=16, num_lights=2, z0=10.0, tilt=(0.0, 0.0),
+             scene_type="plane"):
     """tilt: plane slope (dz/dx, dz/dy). A nonzero tilt makes GT depth vary
     across the image, so an end-to-end quality number cannot be faked by the
-    soft-argmin mid-range prior (the plane z=z0 sits at the ladder centre)."""
+    soft-argmin mid-range prior (the plane z=z0 sits at the ladder centre).
+
+    scene_type 'objects' renders a tilted backdrop plus textured spheres
+    (make_objects_scene): occlusion boundaries and curved surfaces that the
+    plane fixture cannot produce; the GT point cloud is then built by
+    unprojecting every view's analytic depth map (perfect fusion), which is
+    correct for arbitrary geometry."""
     root = Path(root)
-    depth_min, depth_max = z0 * 0.8, z0 * 1.2
+    depth_min, depth_max = z0 * 0.72, z0 * 1.28
     interval = (depth_max - depth_min) / (num_depth - 1)
     from PIL import Image
 
     scenes = {}
     pairs = None
     for s in range(num_scans):
-        scene = make_plane_scene(num_views=num_views, height=height,
-                                 width=width, z0=z0, seed=s, tilt=tilt)
+        if scene_type == "objects":
+            scene = make_objects_scene(num_views=num_views, height=height,
+                                       width=width, z0=z0, seed=s, tilt=tilt)
+        else:
+            scene = make_plane_scene(num_views=num_views, height=height,
+                                     width=width, z0=z0, seed=s, tilt=tilt)
         scan = f"scan{s + 1}"
         scenes[scan] = scene
 
@@ -80,26 +91,45 @@ def generate(root, num_scans=2, num_views=5, height=64, width=96,
             write_cam_file(root / scan / "cams" / f"{v:08d}_cam.txt", cam_full)
         write_pair_file(root / scan / "pair.txt", pairs)
 
-        # ---- GT point cloud: dense plane samples restricted to the region
-        # some camera actually observes. The real DTU protocol enforces the
-        # same restriction via ObsMask (Evaluation/dtu/BaseEvalMain_web.m:66-75);
-        # without it, completeness is inflated by surface no pipeline could
-        # ever reconstruct.
-        ys, xs = np.meshgrid(np.linspace(-4, 4, 160), np.linspace(-5, 5, 200),
-                             indexing="ij")
-        zs = z0 + tilt[0] * xs + tilt[1] * ys
-        stl = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
-        visible = np.zeros(len(stl), bool)
-        for v in range(num_views):
-            rt = scene.extrinsics[v]
-            cam = stl @ rt[:3, :3].T + rt[:3, 3]
-            uvw = cam @ scene.intrinsics[v].T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u = uvw[:, 0] / uvw[:, 2]
-                vv = uvw[:, 1] / uvw[:, 2]
-            visible |= ((uvw[:, 2] > 0) & (u >= 0) & (u < width)
-                        & (vv >= 0) & (vv < height))
-        stl = stl[visible]
+        # ---- GT point cloud restricted to observed surface. The real DTU
+        # protocol enforces the same restriction via ObsMask
+        # (Evaluation/dtu/BaseEvalMain_web.m:66-75); without it,
+        # completeness is inflated by surface no pipeline could ever
+        # reconstruct.
+        if scene_type == "objects":
+            # Unproject every view's analytic GT depth (perfect fusion) —
+            # geometry-agnostic, observed-by-construction.
+            pts = []
+            ys_i, xs_i = np.meshgrid(np.arange(height), np.arange(width),
+                                     indexing="ij")
+            pix = np.stack([xs_i, ys_i, np.ones_like(xs_i)], 0
+                           ).reshape(3, -1).astype(np.float64)
+            for v in range(num_views):
+                d = scene.depths[v].reshape(-1)
+                ok = d > 0
+                cam = np.linalg.inv(scene.intrinsics[v]) @ (pix * d[None])
+                rt = scene.extrinsics[v]
+                world = rt[:3, :3].T @ (cam - rt[:3, 3:4])
+                pts.append(world[:, ok].T)
+            stl = np.concatenate(pts, axis=0)
+            # ~0.2-unit-ish decimation keeps eval-time KD trees small.
+            stl = stl[:: max(1, len(stl) // 60000)]
+        else:
+            ys, xs = np.meshgrid(np.linspace(-4, 4, 160),
+                                 np.linspace(-5, 5, 200), indexing="ij")
+            zs = z0 + tilt[0] * xs + tilt[1] * ys
+            stl = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1)
+            visible = np.zeros(len(stl), bool)
+            for v in range(num_views):
+                rt = scene.extrinsics[v]
+                cam = stl @ rt[:3, :3].T + rt[:3, 3]
+                uvw = cam @ scene.intrinsics[v].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    u = uvw[:, 0] / uvw[:, 2]
+                    vv = uvw[:, 1] / uvw[:, 2]
+                visible |= ((uvw[:, 2] > 0) & (u >= 0) & (u < width)
+                            & (vv >= 0) & (vv < height))
+            stl = stl[visible]
         write_ply(root / "Points" / "stl" / f"stl{s + 1:03d}_total.ply",
                   stl.astype(np.float32))
 
@@ -134,9 +164,10 @@ def main(argv=None):
     p.add_argument("--depths", type=int, default=16)
     p.add_argument("--tilt", type=float, nargs=2, default=(0.0, 0.0),
                    metavar=("DZDX", "DZDY"))
+    p.add_argument("--scene", default="plane", choices=("plane", "objects"))
     args = p.parse_args(argv)
     generate(args.root, args.scans, args.views, args.height, args.width,
-             args.depths, tilt=tuple(args.tilt))
+             args.depths, tilt=tuple(args.tilt), scene_type=args.scene)
     print(f"synthetic DTU layout written to {args.root}")
 
 

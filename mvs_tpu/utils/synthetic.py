@@ -172,3 +172,95 @@ def make_step_scene(
         depth_min=zmin * 0.9,
         depth_max=zmax * 1.1,
     )
+
+
+def _render_objects(intrinsics, extrinsics, height, width, planes, spheres,
+                    freq: float = 1.0):
+    """Ray-cast planes (see _render_planes) PLUS opaque textured spheres.
+
+    spheres: list of (cx, cy, cz, radius). Nearest hit wins, so spheres
+    occlude the backdrop and each other — curved surfaces, occlusion
+    boundaries, and per-view visibility differences that a plane fixture can
+    never produce. Returns (images, depths)."""
+    num_views = len(intrinsics)
+    images = np.zeros((num_views, height, width, 3), dtype=np.float32)
+    depths = np.zeros((num_views, height, width), dtype=np.float32)
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], 0).reshape(3, -1).astype(np.float64)
+
+    for v in range(num_views):
+        r = extrinsics[v][:3, :3]
+        t = extrinsics[v][:3, 3]
+        center = -r.T @ t
+        dirs = r.T @ (np.linalg.inv(intrinsics[v]) @ pix)  # (3, N)
+        best_s = np.full(pix.shape[1], np.inf)
+        best_world = np.zeros((3, pix.shape[1]))
+        for z0, tx, ty, x_lo, x_hi in planes:
+            n = np.array([-tx, -ty, 1.0])
+            denom = n @ dirs
+            s = (z0 - n @ center) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+            hit = center[:, None] + s[None] * dirs
+            ok = (s > 0) & (hit[0] >= x_lo) & (hit[0] < x_hi) & (s < best_s)
+            best_s = np.where(ok, s, best_s)
+            best_world = np.where(ok[None], hit, best_world)
+        for cx, cy, cz, rad in spheres:
+            oc = center - np.array([cx, cy, cz])
+            d2 = (dirs * dirs).sum(0)
+            b = 2.0 * (oc[:, None] * dirs).sum(0)
+            cc = oc @ oc - rad * rad
+            disc = b * b - 4 * d2 * cc
+            root = np.sqrt(np.maximum(disc, 0.0))
+            s = (-b - root) / (2 * d2)  # near intersection
+            hit = center[:, None] + s[None] * dirs
+            ok = (disc > 0) & (s > 0) & (s < best_s)
+            best_s = np.where(ok, s, best_s)
+            best_world = np.where(ok[None], hit, best_world)
+        tex = texture(freq * best_world[0], freq * best_world[1]
+                      + 0.5 * freq * best_world[2]).reshape(height, width)
+        images[v] = np.repeat(tex[..., None], 3, -1).astype(np.float32)
+        cam_z = (r @ best_world + t[:, None])[2]
+        cam_z = np.where(np.isfinite(best_s), cam_z, 0.0)
+        depths[v] = cam_z.reshape(height, width).astype(np.float32)
+    return images, depths
+
+
+def make_objects_scene(
+    num_views: int = 5,
+    height: int = 64,
+    width: int = 96,
+    z0: float = 10.0,
+    baseline: float = 0.6,
+    focal: float = 100.0,
+    jitter_angle: float = 0.02,
+    seed: int = 0,
+    tilt: tuple = (0.08, 0.05),
+    texture_freq: float = 2.0,
+) -> SyntheticScene:
+    """Textured multi-object scene: a tilted backdrop plane plus spheres in
+    front of it — occlusion boundaries, curved depth, view-dependent
+    visibility. The sphere layout varies with `seed` so multiple scans are
+    genuinely different scenes. Depth spans roughly [0.75 z0, 1.25 z0]."""
+    rng = np.random.default_rng(seed + 101)
+    intrinsics, extrinsics = _camera_rig(
+        num_views, height, width, baseline, focal, jitter_angle, seed
+    )
+    spheres = []
+    for i in range(3):
+        cx = rng.uniform(-2.2, 2.2)
+        cy = rng.uniform(-1.6, 1.6)
+        cz = z0 - rng.uniform(1.0, 2.2)
+        rad = rng.uniform(0.55, 1.0)
+        spheres.append((cx, cy, cz, rad))
+    images, depths = _render_objects(
+        intrinsics, extrinsics, height, width,
+        [(z0, tilt[0], tilt[1], -np.inf, np.inf)], spheres,
+        freq=texture_freq,
+    )
+    return SyntheticScene(
+        images=images,
+        depths=depths,
+        intrinsics=intrinsics.astype(np.float32),
+        extrinsics=extrinsics.astype(np.float32),
+        depth_min=z0 * 0.72,
+        depth_max=z0 * 1.28,
+    )

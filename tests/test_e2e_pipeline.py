@@ -133,3 +133,48 @@ def test_infer_fuse_on_disk_contract(e2e_dirs):
     depth = read_pfm(scan / "depth_est" / "00000000.pfm")[0]
     # Intrinsics are written at depth-map resolution (cx ≈ W/2).
     assert abs(cam.intrinsics[0, 2] / depth.shape[1] - 0.5) < 0.1
+
+
+def test_sampler_parity_on_trained_model(e2e_dirs):
+    """Full-model sampler-parity gate: the production fast sampler ('hat' —
+    dense two-pass stage 1, banded tiles stages 2/3) must produce depth maps
+    within a small fraction of the stage-3 hypothesis interval of the exact
+    'gather' sampler, ON TRAINED WEIGHTS. This is the accuracy statement the
+    bench's throughput number stands on (configs/cas_*.yaml pin
+    sampler: hat); the same delta is reported at real eval shapes by
+    bench.py's depth_delta field."""
+    import jax.numpy as jnp
+
+    from mvs_tpu.models.cas_mvsnet import CasMVSNet
+    from mvs_tpu.train.checkpoint import CheckpointManager
+    from mvs_tpu.io.dtu import DTUEvalDataset
+    from mvs_tpu.cli.infer import stack_model_inputs
+    from mvs_tpu.utils.config import load_config
+
+    root, run, _, _ = e2e_dirs
+    restored = CheckpointManager(f"{run}/ckpt").restore_raw()
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats") is not None:
+        variables["batch_stats"] = restored["batch_stats"]
+
+    cfg = load_config(None, [
+        "model.name=cas_mvsnet", "model.ndepths=8,8,8",
+        "data.num_views=3", "data.num_depth=16", "data.interval_scale=1.0",
+    ])
+    ds = DTUEvalDataset(str(root), ["scan1"], num_views=3, num_depth=16,
+                        interval_scale=1.0, max_h=64, max_w=96, align=32)
+    args = stack_model_inputs(cfg, [ds[0], ds[1]])
+
+    depths = {}
+    for sampler in ("gather", "hat"):
+        model = CasMVSNet(ndepths=(8, 8, 8), sampler=sampler,
+                          compute_dtype=jnp.float32)
+        out = model.apply(variables, *args, train=False)
+        depths[sampler] = np.asarray(out["depth"], np.float32)
+
+    delta = np.abs(depths["gather"] - depths["hat"])
+    # Stage-3 interval = base interval (0.267 units) * ratio 1.
+    interval = float(ds[0]["depth_interval"])
+    assert delta.mean() < 0.1 * interval, (delta.mean(), interval)
+    assert np.quantile(delta, 0.99) < 0.5 * interval, (
+        np.quantile(delta, 0.99), interval)

@@ -139,3 +139,39 @@ def test_fold_candidates():
     assert fold_candidates(128, 128) == (1, 1)
     assert fold_candidates(200, 200) == (1, 1)
     assert fold_candidates(8, 32) == (4, 4)
+
+
+def test_bf16_training_gradients_flow():
+    """bf16 compute must be TRAINABLE: this jax's conv transpose rule
+    rejects preferred_element_type=f32 over bf16 operands, which silently
+    made every bf16 train step crash (the reference's AMP-O1 analogue,
+    CasMVSNet/train.py:55-59, must work). _conv_f32accum's custom vjp casts
+    the cotangent to bf16 (standard mixed-precision semantics)."""
+    import jax
+
+    from mvs_tpu.ops.folded_conv import conv_folded, conv_transpose_folded2
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 8)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+
+    def loss(w_):
+        return jnp.sum(conv_folded(x, w_.astype(jnp.bfloat16)) ** 2).astype(jnp.float32)
+
+    g = jax.grad(loss)(w)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+    # Grad parity vs f32 compute (bf16 grads are quantized; loose bound).
+    g32 = jax.grad(lambda w_: jnp.sum(
+        conv_folded(x.astype(jnp.float32), w_) ** 2))(w)
+    ga, gb = np.asarray(g, np.float32), np.asarray(g32, np.float32)
+    denom = np.abs(gb).mean() + 1e-6
+    assert np.abs(ga - gb).mean() / denom < 0.05
+
+    wt = jnp.asarray(rng.standard_normal((3, 3, 8, 4)) * 0.1, jnp.float32)
+
+    def loss_t(w_):
+        return jnp.sum(conv_transpose_folded2(
+            x, w_.astype(jnp.bfloat16)) ** 2).astype(jnp.float32)
+
+    gt = jax.grad(loss_t)(wt)
+    assert np.isfinite(np.asarray(gt, np.float32)).all()

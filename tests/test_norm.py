@@ -104,3 +104,40 @@ def test_eval_before_any_update_is_identity_stats():
     v = m.init(jax.random.key(0), x, train=True)
     y = m.apply(v, x, train=False)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_convblock_eval_bn_fusion_matches_unfused():
+    """Eval-mode ConvBlock folds the BN affine (+ReLU) into the conv
+    epilogue; output must match the explicit conv -> Norm -> relu chain."""
+    from mvs_tpu.nn.blocks import ConvBlock, ConvTransposeBlock, Norm
+
+    for Block, c_in in ((ConvBlock, 3), (ConvTransposeBlock, 8)):
+        m = Block(8, (3, 3))
+        x0 = jax.random.normal(jax.random.key(0), (2, 16, 16, c_in))
+        v = m.init(jax.random.key(1), x0, train=True)
+        # a few BN updates so the stats are non-trivial
+        stats = v["batch_stats"]
+        for i in range(3):
+            xi = jax.random.normal(jax.random.key(10 + i), (2, 16, 16, c_in))
+            _, upd = m.apply({"params": v["params"], "batch_stats": stats},
+                             xi, train=True, mutable=["batch_stats"])
+            stats = upd["batch_stats"]
+        var = {"params": v["params"], "batch_stats": stats}
+        fused = m.apply(var, x0, train=False)
+
+        # Explicit reference composition: conv (no affine) then Norm + relu.
+        import numpy as np
+
+        inner = "Conv_0" if Block is ConvBlock else "ConvTranspose_0"
+        from mvs_tpu.nn.blocks import FoldedConv, FoldedConvTranspose
+
+        Folded = FoldedConv if Block is ConvBlock else FoldedConvTranspose
+        kwargs = {"use_bias": False} if Block is ConvBlock else {}
+        y = Folded(8, (3, 3), **kwargs).apply(
+            {"params": var["params"][inner]}, x0)
+        y = Norm("batch").apply(
+            {"params": var["params"]["Norm_0"],
+             "batch_stats": var["batch_stats"]["Norm_0"]}, y, False)
+        want = jax.nn.relu(y)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
