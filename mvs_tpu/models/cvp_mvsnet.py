@@ -67,9 +67,14 @@ class CVPMVSNet(nn.Module):
             return variance_cost_volume(ref_feat, src_feats, rel_projs, hyp,
                                         sampler=sampler, band_cfg=self.band_cfg)
         if self.cost_mode == "group_correlation":
+            sampler = self.sampler
+            if sampler == "hat" and hyp.ndim == 3:
+                # Same banded-tile speedup as the variance path at per-pixel
+                # refine levels (closes the AACVP eval-shape gap).
+                sampler = "hat_banded"
             return group_correlation_cost_volume(
                 ref_feat, src_feats, rel_projs, hyp, self.num_groups,
-                sampler=self.sampler,
+                sampler=sampler, band_cfg=self.band_cfg,
             )
         raise ValueError(f"unknown cost_mode {self.cost_mode!r}")
 

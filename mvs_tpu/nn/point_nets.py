@@ -79,11 +79,21 @@ class VolumeConv(nn.Module):
         conv2_1 = ConvBlock(b * 4, _K3, **kw)(conv2_0, train)
         conv3_1 = ConvBlock(b * 8, _K3, **kw)(conv3_0, train)
 
-        conv4_0 = ConvTransposeBlock(b * 4, _K3, strides=2, **kw)(conv3_1, train)
-        conv5_0 = ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(conv4_0 + conv2_1, train)
-        conv6_0 = ConvTransposeBlock(b, _K3, strides=2, **kw)(conv5_0 + conv1_1, train)
+        def up_add(y, skip):
+            # Stride-2 transposed convs produce 2*ceil(n/2); crop to the
+            # encoder skip's extent so odd spatial/depth sizes (e.g. W/32=3
+            # at 96-px eval frames) stay valid — standard U-Net cropping.
+            y = y[:, :skip.shape[1], :skip.shape[2], :skip.shape[3]]
+            return y + skip
 
-        score = nn.Conv(1, _K3, padding="SAME", use_bias=False)(conv6_0 + conv0_1)
+        conv4_0 = ConvTransposeBlock(b * 4, _K3, strides=2, **kw)(conv3_1, train)
+        conv5_0 = ConvTransposeBlock(b * 2, _K3, strides=2, **kw)(
+            up_add(conv4_0, conv2_1), train)
+        conv6_0 = ConvTransposeBlock(b, _K3, strides=2, **kw)(
+            up_add(conv5_0, conv1_1), train)
+
+        score = nn.Conv(1, _K3, padding="SAME", use_bias=False)(
+            up_add(conv6_0, conv0_1))
         return score[..., 0]
 
 

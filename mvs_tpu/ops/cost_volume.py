@@ -98,12 +98,24 @@ def group_correlation_cost_volume(
     depth_values: jnp.ndarray,  # (D,) or (D, H, W)
     num_groups: int,
     sampler: str = "gather",
+    band_cfg: dict | None = None,
 ) -> jnp.ndarray:
     """Group-wise correlation cost volume (D, H, W, G).
 
     similarity(g) = mean_c-in-g( warped_c * ref_c ), averaged over source views
     — additive over views, hence view-shardable exactly like the variance path.
+
+    sampler 'hat_banded': the fused banded-tile path (shared machinery with
+    the variance volume — ops.hat_warp) so AACVP refine levels get the same
+    per-pixel-window speedup as the cascade stages.
     """
+    if sampler == "hat_banded":
+        from mvs_tpu.ops.hat_warp import fused_variance_volume_banded
+
+        return fused_variance_volume_banded(
+            ref_feat, src_feats, rel_projs, depth_values,
+            mode="group_correlation", num_groups=num_groups,
+            **(band_cfg or {}))
     h, w, c = ref_feat.shape
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     d = depth_values.shape[0]

@@ -383,6 +383,8 @@ def fused_variance_volume_banded(
     depth_group: int | None = None,
     count_offband: bool = False,
     tiles_per_step: int = 1,
+    mode: str = "variance",
+    num_groups: int = 4,
 ) -> jnp.ndarray:
     """Banded tiled fused plane-sweep variance volume (D, H, W, C).
 
@@ -407,6 +409,12 @@ def fused_variance_volume_banded(
     is usually better served by fused_variance_volume_hat (coarse stages
     are small enough that dense contraction wins — banding pays off at
     refine-stage resolutions).
+
+    mode 'group_correlation' aggregates group-wise correlation against the
+    reference features instead of variance (the AACVP cost,
+    AACVP-MVSNet/models/AACVPMVSNet.py:108-136): output channels become
+    num_groups, everything else — tiling, banding, coverage contract —
+    is shared.
 
     Replaces reference MVSNet/models/mvsnet.py:156-170 + module.py:46-87.
     """
@@ -466,6 +474,11 @@ def fused_variance_volume_banded(
     # (not hoisted out of the lax.map loop; ~54 ms/step at CasMVSNet stage 3).
     src_list = [src_feats[v] for v in range(nv)]
 
+    corr_mode = mode == "group_correlation"
+    if corr_mode:
+        assert c % num_groups == 0, (c, num_groups)
+        cg = c // num_groups
+
     def tile_fn(args):
         origin, depth_tile = args  # (2,), (g, R, TW) or (g, 1, 1)
         oy = origin[0].astype(jnp.float32)
@@ -474,8 +487,15 @@ def fused_variance_volume_banded(
         py = oy + row_iota[:, None]  # (R, 1)
         in_img = ((py < h) & (px < w))  # (R, TW) – padded rows/cols masked out
 
-        sum_f = jnp.zeros((g, tile_rows, tile_cols, c), jnp.float32)
-        sum_sq = jnp.zeros_like(sum_f)
+        ref_tile32 = jax.lax.dynamic_slice(
+            ref_pad, (origin[0], origin[1], 0), (tile_rows, tile_cols, c)
+        ).astype(jnp.float32)
+        if corr_mode:
+            ref_g = ref_tile32.reshape(tile_rows, tile_cols, num_groups, cg)
+            acc = jnp.zeros((g, tile_rows, tile_cols, num_groups), jnp.float32)
+        else:
+            sum_f = jnp.zeros((g, tile_rows, tile_cols, c), jnp.float32)
+            sum_sq = jnp.zeros_like(sum_f)
         off_total = jnp.int32(0)
         dep = jnp.broadcast_to(depth_tile, (g, tile_rows, tile_cols))
         # Tile pixel grid, arithmetic order identical to
@@ -502,14 +522,17 @@ def fused_variance_volume_banded(
             )  # (g, R, TW, C)
             off_total = off_total + off
             warped = warped.astype(jnp.float32)
-            sum_f = sum_f + warped
-            sum_sq = sum_sq + warped * warped
+            if corr_mode:
+                wg = warped.reshape(g, tile_rows, tile_cols, num_groups, cg)
+                acc = acc + jnp.mean(wg * ref_g[None], axis=-1)
+            else:
+                sum_f = sum_f + warped
+                sum_sq = sum_sq + warped * warped
 
-        ref_tile = jax.lax.dynamic_slice(
-            ref_pad, (origin[0], origin[1], 0), (tile_rows, tile_cols, c)
-        ).astype(jnp.float32)[None]
-        sum_f = sum_f + ref_tile
-        sum_sq = sum_sq + ref_tile * ref_tile
+        if corr_mode:
+            return (acc / nv).astype(ref_feat.dtype), off_total
+        sum_f = sum_f + ref_tile32[None]
+        sum_sq = sum_sq + (ref_tile32 * ref_tile32)[None]
         mean = sum_f / num_views
         return (sum_sq / num_views - mean * mean).astype(ref_feat.dtype), off_total
 
@@ -533,8 +556,9 @@ def fused_variance_volume_banded(
         # map's VJP materializes every tile's hat/warp residuals at once.
         tiles, off_counts = jax.lax.map(
             jax.checkpoint(tile_fn), (origins, dv))  # (N, g, R, TW, C)
-    vol = tiles.reshape(d // g, nr, nc, g, tile_rows, tile_cols, c)
-    vol = vol.transpose(0, 3, 1, 4, 2, 5, 6).reshape(d, hp, wp, c)
+    oc = num_groups if corr_mode else c
+    vol = tiles.reshape(d // g, nr, nc, g, tile_rows, tile_cols, oc)
+    vol = vol.transpose(0, 3, 1, 4, 2, 5, 6).reshape(d, hp, wp, oc)
     vol = vol[:, :h, :w]
     if count_offband:
         return vol, jnp.sum(off_counts)

@@ -233,3 +233,26 @@ def test_banded_variance_uneven_tiles():
         tile_rows=16, tile_cols=32, band_h=40, band_w=56)
     err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
     assert err.mean() < 2e-3, err.mean()
+
+
+def test_banded_group_correlation_matches_gather():
+    """Banded fused group-correlation (AACVP cost) vs the exact per-view
+    gather construction on a real scene."""
+    from mvs_tpu.ops.cost_volume import group_correlation_cost_volume
+
+    scene = make_plane_scene(num_views=3, height=48, width=64, z0=10.0)
+    proj = jnp.asarray(scene.projections)
+    rels = jnp.stack([relative_projection(proj[v], proj[0]) for v in (1, 2)])
+    feats = jnp.asarray(np.repeat(np.asarray(scene.images), 4, axis=-1))
+    base = jnp.asarray(scene.depths[0])
+    hyp = jnp.stack([base - 0.3, base - 0.1, base + 0.1, base + 0.3])
+
+    vol_g = group_correlation_cost_volume(feats[0], feats[1:], rels, hyp, 4,
+                                          sampler="gather")
+    vol_b = group_correlation_cost_volume(
+        feats[0], feats[1:], rels, hyp, 4, sampler="hat_banded",
+        band_cfg=dict(tile_rows=16, tile_cols=32, band_h=48, band_w=64,
+                      depth_group=4))
+    assert vol_b.shape == vol_g.shape
+    err = np.abs(np.asarray(vol_g) - np.asarray(vol_b))
+    assert err.mean() < 5e-3, err.mean()

@@ -150,7 +150,11 @@ def test_data_parallel_train_step_matches_single_device():
     task = MVSNetTask(model)
 
     def run(mesh, b):
-        with jax.set_mesh(mesh):
+        # HIGHEST matmul precision for BOTH runs: the folded convs'
+        # legitimate f32 reassociation noise shrinks, so the relative slack
+        # in the bound can drop from 5% to 2% (r4 advisor finding — a
+        # systematic few-percent DP gradient error must not pass).
+        with jax.set_mesh(mesh), jax.default_matmul_precision("highest"):
             state = TrainState.create(
                 apply_fn=model.apply,
                 params=replicate(mesh, variables["params"]),
@@ -190,10 +194,14 @@ def test_data_parallel_train_step_matches_single_device():
         # (~1-2% of the update norm) on small-gradient leaves with the
         # lane-folded convs. A real DP bug (sum-instead-of-mean grads)
         # deviates by ~7x the update NORM itself, >100x this bound.
-        bound = 6.0 * floor + 0.05 * den + 1e-12
+        # + tiny absolute term: under HIGHEST the 1-ulp perturbation can
+        # produce a literally identical update (floor == 0.0) while GSPMD
+        # still reassociates a few ulps; a real bug deviates at ~||upd||
+        # scale, orders above 5e-7.
+        bound = 3.0 * floor + 0.02 * den + 5e-7
         assert dev <= bound, (
             f"{jax.tree_util.keystr(path)}: DP update deviation {dev:.3e} "
-            f"exceeds 6x noise floor {floor:.3e} + 5% (||upd||={den:.3e})")
+            f"exceeds 3x noise floor {floor:.3e} + 2% (||upd||={den:.3e})")
 
 
 def test_view_sharded_train_step_matches_single_device():
