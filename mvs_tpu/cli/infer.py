@@ -64,15 +64,30 @@ def stack_model_inputs(cfg, samples):
     raise ValueError(name)
 
 
-def make_apply_fn(model):
-    """The single compiled inference program (shared with bench.py)."""
+def make_apply_fn(model, **static_kwargs):
+    """The single compiled inference program (shared with bench.py).
+
+    static_kwargs: model-specific static call args (e.g. PointMVSNet's
+    num_depth / use_flow — use model_static_kwargs(cfg))."""
 
     @jax.jit
     def apply_jit(variables, *margs):
-        out = model.apply(variables, *margs, train=False)
-        return out["depth"], out["photometric_confidence"]
+        out = model.apply(variables, *margs, train=False, **static_kwargs)
+        # PointMVSNet's confidence analogue is the coarse 2-tap probability
+        # map (the reference's probability_filter input,
+        # PointMVSNet/depthfusion.py:153).
+        conf = out.get("photometric_confidence", out.get("coarse_prob_map"))
+        return out["depth"], conf
 
     return apply_jit
+
+
+def model_static_kwargs(cfg) -> dict:
+    """Static forward-call kwargs per model family (beyond the tensor args
+    stack_model_inputs builds)."""
+    if cfg.model.name == "point_mvsnet":
+        return {"num_depth": cfg.model.num_depth_coarse}
+    return {}
 
 
 def run_batched_inference(cfg, model, variables, samples_iter, batch_size,
@@ -84,7 +99,7 @@ def run_batched_inference(cfg, model, variables, samples_iter, batch_size,
     last sample (padded outputs are discarded). Compiles once per distinct
     (shape, tail-pad) — in practice once per split.
     """
-    apply_fn = apply_fn or make_apply_fn(model)
+    apply_fn = apply_fn or make_apply_fn(model, **model_static_kwargs(cfg))
     pending: dict[tuple, list] = {}
 
     def flush(bucket):
