@@ -127,6 +127,9 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--ckpt", required=True)
     p.add_argument("--out", default="outputs")
+    p.add_argument("--step", default="latest",
+                   help="latest | best (top val abs-depth-error, needs a "
+                        "best-metric checkpoint manager) | <int>")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     cfg = load_config(args.config, args.overrides)
@@ -146,8 +149,17 @@ def main(argv=None):
 
     # (Params come entirely from the checkpoint; no full-res init needed —
     # conv parameter shapes are resolution-independent.)
-    ckpt = CheckpointManager(args.ckpt)
-    restored = ckpt.restore_raw()
+    # best_metric lets a fresh manager rank the saved per-step metrics
+    # (orbax persists them in step metadata) for --step best.
+    ckpt = CheckpointManager(args.ckpt, best_metric="abs_depth_error")
+    step = None
+    if args.step == "best":
+        step = ckpt.best_step()  # None -> falls back to latest
+        if step is not None:
+            print(f"using best checkpoint (step {step})")
+    elif args.step != "latest":
+        step = int(args.step)
+    restored = ckpt.restore_raw(step)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {args.ckpt}")
     # Checkpoints store a full TrainState; inference needs params(+batch_stats).

@@ -86,7 +86,10 @@ class CheckpointManager:
     def best_step(self) -> int | None:
         """Step of the best checkpoint by the retention metric (None when no
         best_metric was configured or nothing was saved with the metric)."""
-        return self._mgr.best_step()
+        try:
+            return self._mgr.best_step()
+        except Exception:
+            return None
 
     def restore(self, target: Any, step: int | None = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()

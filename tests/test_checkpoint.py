@@ -129,3 +129,17 @@ def test_best_metric_retention(tmp_path):
     restored = mgr.restore({"w": np.zeros(4, np.float32)}, step=20)
     np.testing.assert_allclose(restored["w"], state["w"])
     mgr.close()
+
+
+def test_best_step_readable_by_fresh_manager(tmp_path):
+    """--step best contract: a NEW manager over the same directory (with the
+    metric configured) ranks the persisted per-step metrics."""
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=3,
+                            best_metric="abs_depth_error")
+    for step, err in ((1, 2.0), (2, 0.5), (3, 1.0)):
+        mgr.save(step, {"w": np.ones(2, np.float32)},
+                 metrics={"abs_depth_error": err})
+    mgr.close()
+    fresh = CheckpointManager(tmp_path / "ck", best_metric="abs_depth_error")
+    assert fresh.best_step() == 2
+    fresh.close()
