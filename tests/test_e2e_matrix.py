@@ -149,3 +149,15 @@ def test_matrix_point_mvsnet(obj_root, tmp_path):
     # constant prior.
     assert err < 0.7 * const, (err, const)
     assert err < 0.6, (err, const)
+
+
+def test_matrix_aacvp_mvsnet(obj_root, tmp_path):
+    """The attention + group-correlation variant through the same chain."""
+    run, out = tmp_path / "run", tmp_path / "out"
+    _run_family(obj_root, run, out,
+                ["model.name=aacvp_mvsnet", "model.num_levels=2",
+                 "model.coarse_depths=16", "model.num_groups=4",
+                 "model.train_interval=0.4"], [], 6)
+    err, const = _depth_errors(out)
+    assert err < 0.75 * const, (err, const)
+    assert err < 0.37, (err, const)
